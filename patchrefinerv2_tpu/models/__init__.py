@@ -1,0 +1,6 @@
+"""Model zoo. Importing this module registers all model factories."""
+
+from patchrefinerv2_tpu.models import losses  # noqa: F401
+from patchrefinerv2_tpu.models.blocks import refiner, fusion  # noqa: F401
+from patchrefinerv2_tpu.models import patchrefinerplus  # noqa: F401
+from patchrefinerv2_tpu.models import baseline_pretrain  # noqa: F401

@@ -1,0 +1,106 @@
+"""Elementary conv blocks (NHWC, flax.linen).
+
+TPU-native equivalents of the reference's conv vocabulary
+(estimator/models/blocks/convs.py): per-pixel channel LayerNorm (the
+"channels_first LayerNorm" there is plain last-axis LN in NHWC), exact-erf
+GELU (torch nn.GELU default), 3x3 SAME convs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+def gelu(x):
+    return nn.gelu(x, approximate=False)
+
+
+def relu(x):
+    return nn.relu(x)
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis, eps=1e-6 like the reference."""
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-6)(x)
+
+
+class SingleConvCNNLN(nn.Module):
+    """conv3x3(no bias) -> channel LN -> GELU
+    (reference convs.py:65-76, kernel_size configurable for glb_att projs)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        x = nn.Conv(self.features, (k, k), use_bias=False)(x)
+        x = nn.LayerNorm(epsilon=1e-6)(x)
+        return gelu(x)
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 no-bias -> GELU) x2 (reference convs.py:31-45)."""
+
+    features: int
+    mid_features: int | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        mid = self.mid_features or self.features
+        x = gelu(nn.Conv(mid, (3, 3), use_bias=False)(x))
+        x = gelu(nn.Conv(self.features, (3, 3), use_bias=False)(x))
+        return x
+
+
+class DoubleResConv(nn.Module):
+    """Residual pair: x + act(conv(act(conv(x))))
+    (reference convs.py:47-62: two conv->act stages with an outer skip)."""
+
+    features: int
+    activation: Callable = gelu
+
+    @nn.compact
+    def __call__(self, x):
+        out = self.activation(nn.Conv(self.features, (3, 3), use_bias=False)(x))
+        out = self.activation(nn.Conv(self.features, (3, 3), use_bias=False)(out))
+        return x + out
+
+
+class ResidualConvUnit(nn.Module):
+    """DPT residual unit: x + conv(act(conv(act(x))))
+    (external/depth_anything/blocks.py:37-96, bn=False in all live configs)."""
+
+    features: int
+    activation: Callable = relu
+
+    @nn.compact
+    def __call__(self, x):
+        out = self.activation(x)
+        out = nn.Conv(self.features, (3, 3), use_bias=True)(out)
+        out = self.activation(out)
+        out = nn.Conv(self.features, (3, 3), use_bias=True)(out)
+        return out + x
+
+
+class MLP(nn.Module):
+    """1x1-conv MLP used by bins-head subnets: conv1x1 -> act -> conv1x1 [-> act]."""
+
+    hidden: int
+    out: int
+    act: Callable = relu
+    final_act: Callable | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = self.act(nn.Conv(self.hidden, (1, 1))(x))
+        x = nn.Conv(self.out, (1, 1))(x)
+        if self.final_act is not None:
+            x = self.final_act(x)
+        return x

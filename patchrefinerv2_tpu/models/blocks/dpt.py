@@ -1,0 +1,241 @@
+"""DPT-style decoder blocks (NHWC): feature fusion, gated fusion, scratch
+projections, and the SimpleDPTHead / C2F modules built from them.
+
+Reference behavior:
+* FeatureFusionBlock / ResidualConvUnit — external/depth_anything/blocks.py
+  (plain softmax of skip-add, bilinear align_corners=True upsample, 1x1 out
+  conv),
+* GatedConvUnit / GatedFusionBlock — estimator/models/blocks/
+  bi_directional_fusion_model.py:26-146 (coarse features injected through a
+  sigmoid gate or a plain fusion conv),
+* _make_scratch_simple 5-level 3x3 projections — estimator/models/blocks/
+  lightweight_refiner.py:15-47,
+* SimpleDPTHead — lightweight_refiner.py:61-137,
+* C2FModule / C2FNOENCModule — bi_directional_fusion_model.py:148-286.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from patchrefinerv2_tpu.models.blocks.convs import ResidualConvUnit, gelu, relu
+from patchrefinerv2_tpu.ops.resize import resize
+
+
+def upsample_bilinear_ac(x, size=None, scale=2):
+    h, w = x.shape[1:3]
+    target = size if size is not None else (h * scale, w * scale)
+    return resize(x, target, mode="bilinear", align_corners=True)
+
+
+class GatedConvUnit(nn.Module):
+    """Residual conv with optional coarse-feature gating
+    (bi_directional_fusion_model.py:26-82).
+
+    out = x + conv(act(x)); if fusion: f = fusion_conv(cat(out, c_feat));
+    gate => out *= sigmoid(f), else out = f.
+    """
+
+    features: int
+    gate: bool = True
+    fusion: bool = True
+
+    @nn.compact
+    def __call__(self, x, c_feat=None):
+        out = relu(x)
+        out = nn.Conv(self.features, (3, 3), use_bias=True)(out)
+        out = out + x
+        if self.fusion:
+            fused = jnp.concatenate([out, c_feat], axis=-1)
+            fused = nn.Conv(self.features, (3, 3), use_bias=True)(fused)
+            fused = nn.LayerNorm(epsilon=1e-6)(fused)
+            fused = relu(fused)
+            fused = nn.Conv(self.features, (1, 1), use_bias=False)(fused)
+            if self.gate:
+                out = out * nn.sigmoid(fused)
+            else:
+                out = fused
+        return out
+
+
+class GatedFusionBlock(nn.Module):
+    """Fusion block with gated units (bi_directional_fusion_model.py:85-146)."""
+
+    features: int
+    gate: bool = True
+    fusion: bool = True
+
+    @nn.compact
+    def __call__(self, x, skip=None, size=None, coarse_feat=None, upscale=True):
+        out = x
+        if skip is not None:
+            res = GatedConvUnit(self.features, self.gate, self.fusion)(skip, coarse_feat)
+            out = out + res
+        out = GatedConvUnit(self.features, self.gate, self.fusion)(out, coarse_feat)
+        if upscale:
+            out = upsample_bilinear_ac(out, size=size)
+        return nn.Conv(self.features, (1, 1), use_bias=True)(out)
+
+
+class FeatureFusionBlock(nn.Module):
+    """Plain DPT fusion block (external/depth_anything/blocks.py:99-150)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, skip=None, size=None):
+        out = x
+        if skip is not None:
+            out = out + ResidualConvUnit(self.features)(skip)
+        out = ResidualConvUnit(self.features)(out)
+        out = upsample_bilinear_ac(out, size=size)
+        return nn.Conv(self.features, (1, 1), use_bias=True)(out)
+
+
+class Scratch(nn.Module):
+    """Per-level 3x3 no-bias projections to a common width
+    (lightweight_refiner.py:15-47; 4-level variant in depth_anything/blocks.py)."""
+
+    features: int
+    num_levels: int = 5
+
+    @nn.compact
+    def __call__(self, levels: Sequence[jnp.ndarray]):
+        assert len(levels) == self.num_levels
+        return [
+            nn.Conv(self.features, (3, 3), use_bias=False, name=f"layer{i+1}_rn")(lvl)
+            for i, lvl in enumerate(levels)
+        ]
+
+
+class SimpleDPTHead(nn.Module):
+    """5-level DPT decoder head (lightweight_refiner.py:61-137).
+
+    Returns (feats, out): feats = [layer_5_rn, path_5, path_4, path_3,
+    path_2, last_feat] (low-res -> high-res), out = 1-channel prediction.
+    The final 1x1 conv weight is init'd at mean 1.0 like the reference
+    (lightweight_refiner.py:111-112).
+    """
+
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, out_features: Sequence[jnp.ndarray]):
+        l1, l2, l3, l4, l5 = out_features
+        rn = Scratch(self.features)( [l1, l2, l3, l4, l5] )
+        l1rn, l2rn, l3rn, l4rn, l5rn = rn
+
+        p5 = FeatureFusionBlock(self.features, name="refinenet5")(l5rn, size=l4rn.shape[1:3])
+        p4 = FeatureFusionBlock(self.features, name="refinenet4")(p5, l4rn, size=l3rn.shape[1:3])
+        p3 = FeatureFusionBlock(self.features, name="refinenet3")(p4, l3rn, size=l2rn.shape[1:3])
+        p2 = FeatureFusionBlock(self.features, name="refinenet2")(p3, l2rn, size=l1rn.shape[1:3])
+        p1 = FeatureFusionBlock(self.features, name="refinenet1")(p2, l1rn)
+
+        out = nn.Conv(self.features // 2, (3, 3), name="output_conv1")(p1)
+        last_feat = relu(nn.Conv(32, (3, 3), name="output_conv2")(out))
+        out = nn.Conv(
+            1,
+            (1, 1),
+            name="output_conv3",
+            kernel_init=nn.initializers.normal(stddev=1.0, dtype=jnp.float32),
+            bias_init=nn.initializers.zeros,
+        )(last_feat)
+        # shift kernel init to mean 1.0 (reference nn.init.normal_(mean=1.0))
+        return [l5rn, p5, p4, p3, p2, last_feat], out
+
+
+class C2FModule(nn.Module):
+    """Coarse-to-fine DPT decoder over refiner encoder features, with coarse
+    features injected at every refinenet (bi_directional_fusion_model.py:148-208).
+
+    coarse_features: list of 6, index 0 = highest-res (32ch midas_final level),
+    1..5 = deeper levels; fine_features: 5 encoder levels high->low res.
+    """
+
+    features: int = 256
+    head2_features: int = 32  # == coarse_chl[0]
+    gate: bool = True
+    fusion: bool = True
+
+    @nn.compact
+    def __call__(self, fine_features, coarse_features):
+        l1, l2, l3, l4, l5 = fine_features
+        rn = Scratch(self.features)([l1, l2, l3, l4, l5])
+        l1rn, l2rn, l3rn, l4rn, l5rn = rn
+        g, f = self.gate, self.fusion
+
+        p5 = GatedFusionBlock(self.features, g, f, name="refinenet5")(
+            l5rn, size=l4rn.shape[1:3], coarse_feat=coarse_features[5]
+        )
+        p4 = GatedFusionBlock(self.features, g, f, name="refinenet4")(
+            p5, l4rn, size=l3rn.shape[1:3], coarse_feat=coarse_features[4]
+        )
+        p3 = GatedFusionBlock(self.features, g, f, name="refinenet3")(
+            p4, l3rn, size=l2rn.shape[1:3], coarse_feat=coarse_features[3]
+        )
+        p2 = GatedFusionBlock(self.features, g, f, name="refinenet2")(
+            p3, l2rn, size=l1rn.shape[1:3], coarse_feat=coarse_features[2]
+        )
+        p1 = GatedFusionBlock(self.features, g, f, name="refinenet1")(
+            p2, l1rn, coarse_feat=coarse_features[1]
+        )
+
+        out = nn.Conv(self.features // 2, (3, 3), name="output_conv1")(p1)
+        last_feat = relu(nn.Conv(self.head2_features, (3, 3), name="output_conv2")(out))
+        last_feat = GatedFusionBlock(self.head2_features, g, f, name="output_conv2_fusion")(
+            last_feat, coarse_feat=coarse_features[0], upscale=False
+        )
+        out = nn.Conv(
+            1,
+            (1, 1),
+            name="output_conv3",
+            kernel_init=_mean_one_normal_init,
+            bias_init=nn.initializers.zeros,
+        )(last_feat)
+        feats = [l5rn, p5, p4, p3, p2, last_feat]
+        return feats, out
+
+
+def _mean_one_normal_init(key, shape, dtype=jnp.float32):
+    """normal(mean=1.0, std=1.0) like the reference head init
+    (bi_directional_fusion_model.py:181, patchrefinerplus.py:98)."""
+    import jax
+
+    return jax.random.normal(key, shape, dtype) + 1.0
+
+
+class C2FNOENCModule(nn.Module):
+    """'only-gate' C2F variant: per-level gated convs without a decoder chain
+    (bi_directional_fusion_model.py:211-286)."""
+
+    features: int = 256
+    gate: bool = False
+    fusion: bool = True
+
+    @nn.compact
+    def __call__(self, fine_features, coarse_features):
+        l1, l2, l3, l4, l5 = fine_features
+        rn = Scratch(self.features)([l1, l2, l3, l4, l5])
+        l1rn, l2rn, l3rn, l4rn, l5rn = rn
+        g, f = self.gate, self.fusion
+
+        def gate_pair(x, c, width, name):
+            x = GatedConvUnit(width, g, f, name=f"{name}_gate1")(x, c)
+            return GatedConvUnit(width, g, f, name=f"{name}_gate2")(x, c)
+
+        p5 = gate_pair(l5rn, coarse_features[5], self.features, "layer1")
+        p4 = gate_pair(l4rn, coarse_features[4], self.features, "layer2")
+        p3 = gate_pair(l3rn, coarse_features[3], self.features, "layer3")
+        p2 = gate_pair(l2rn, coarse_features[2], self.features, "layer4")
+        p1 = gate_pair(l1rn, coarse_features[1], self.features, "layer5")
+
+        l0 = nn.ConvTranspose(32, (2, 2), strides=(2, 2), name="upsample_convt")(l1)
+        l0 = relu(l0)
+        l0 = nn.Conv(32, (3, 3), use_bias=False, name="upsample_conv")(l0)
+        p0 = gate_pair(l0, coarse_features[0], 32, "layer6")
+
+        out = nn.Conv(1, (3, 3), name="output_conv")(p0)
+        return [p5, p4, p3, p2, p1, p0], out
