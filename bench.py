@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Driver benchmark: 4K frames/sec/chip at 4x4 split, cai-mode r32
+(BASELINE.json target: >= 5 fps/chip on v5e, vs_baseline = fps / 5).
+
+Runs the flagship PatchRefinerPlus graph (ZoeDepth BEiT-L coarse +
+tf_efficientnet_b5_ap refiner + BiDirectionalFusion — the
+configs/patchrefinerv2_zoedepth/v2_eff_u4k.py architecture) with random
+weights on one real chip; throughput is weight-independent.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/prv2_jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from patchrefinerv2_tpu.registry import MODELS  # noqa: E402
+
+
+def flagship_config(max_depth=80.0):
+    return dict(
+        e2e_training=False,
+        pretrain_stage=False,
+        image_raw_shape=[2160, 3840],
+        patch_process_shape=[384, 512],
+        patch_split_num=[4, 4],
+        fusion_feat_level=6,
+        min_depth=1e-3,
+        max_depth=max_depth,
+        strategy_refiner_target="offset_coarse",
+        coarse_branch=dict(
+            type="ZoeDepth",
+            n_bins=64,
+            bin_centers_type="softplus",
+            bin_embedding_dim=128,
+            n_attractors=[16, 8, 4, 1],
+            attractor_alpha=1000,
+            attractor_gamma=2,
+            attractor_kind="mean",
+            attractor_type="inv",
+            min_temp=0.0212,
+            max_temp=50.0,
+        ),
+        refiner=dict(
+            fine_branch=dict(
+                type="LightWeightRefiner",
+                coarse_condition=True,
+                with_decoder=False,
+                encoder_name="tf_efficientnet_b5_ap",
+            ),
+            fusion_model=dict(
+                type="BiDirectionalFusion",
+                coarse2fine=True,
+                coarse2fine_type="coarse-gated",
+                coarse_chl=[32, 256, 256, 256, 256, 256],
+                fine_chl=[24, 40, 64, 176, 512],
+                fine_chl_after_coarse2fine=[32, 256, 256, 256, 256, 256],
+                temp_chl=[32, 64, 64, 128, 256, 512],
+                dec_chl=[512, 256, 128, 64, 32],
+            ),
+        ),
+        sigloss=dict(type="SILogLoss"),
+        gmloss=dict(type="GradMatchLoss"),
+        sigweight=1.0,
+        pre_norm_bbox=True,
+    )
+
+
+def main():
+    cai_mode = os.environ.get("BENCH_CAI_MODE", "r32")
+    process_num = int(os.environ.get("BENCH_PROCESS_NUM", "4"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+
+    model = MODELS.build(dict(type="PatchRefinerPlus", config=flagship_config()))
+    variables = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    image_lr = jnp.asarray(rng.rand(1, 384, 512, 3), jnp.float32)
+    image_hr = jnp.asarray(rng.rand(1, 2160, 3840, 3), jnp.float32)
+    seed = jax.random.PRNGKey(0)
+
+    def once():
+        d, _ = model.infer(
+            variables, image_lr, image_hr,
+            cai_mode=cai_mode, process_num=process_num, seed=seed,
+        )
+        jax.block_until_ready(d)
+
+    for _ in range(warmup):
+        once()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        once()
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": f"4K frames/sec/chip, 4x4 split, {cai_mode}",
+                "value": round(fps, 4),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 5.0, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

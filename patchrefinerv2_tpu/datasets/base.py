@@ -1,0 +1,134 @@
+"""Dataset base + a threaded numpy batch loader (the reference uses torch
+DataLoader + DistributedSampler; here the loader shards by jax process
+index and emits NHWC numpy dicts ready for device_put)."""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Any, Iterator
+
+import numpy as np
+
+from patchrefinerv2_tpu.evaluation.metrics import compute_metrics
+
+
+class DepthDataset:
+    """Common metric/evaluate surface (u4k_dataset.py:232-306 pattern)."""
+
+    min_depth: float = 1e-3
+    max_depth: float = 80.0
+    garg_crop: bool = False
+    eigen_crop: bool = False
+    dataset_name: str = ""
+
+    def get_metrics(self, depth_gt, result, disp_gt_edges=None, **kwargs):
+        return compute_metrics(
+            depth_gt,
+            result,
+            disp_gt_edges=disp_gt_edges,
+            min_depth_eval=self.min_depth,
+            max_depth_eval=self.max_depth,
+            garg_crop=self.garg_crop,
+            eigen_crop=self.eigen_crop,
+            dataset=self.dataset_name,
+        )
+
+    def evaluate(self, results: list[dict], **kwargs) -> dict:
+        from patchrefinerv2_tpu.utils.logging import print_log
+
+        keys = list(results[0].keys())
+        agg = {k: float(np.nanmean([r[k] for r in results if k in r])) for k in keys}
+        header = " | ".join(f"{k:>8}" for k in agg)
+        values = " | ".join(f"{v:8.4f}" for v in agg.values())
+        print_log("Evaluation Summary:\n" + header + "\n" + values)
+        return agg
+
+
+def default_collate(samples: list[dict]) -> dict:
+    out: dict[str, Any] = {}
+    for k in samples[0]:
+        vals = [s[k] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals, axis=0)
+        elif isinstance(vals[0], (int, float, np.floating, np.integer)):
+            out[k] = np.asarray(vals)
+        else:
+            out[k] = vals
+    return out
+
+
+class DataLoader:
+    """Shuffled, process-sharded, optionally prefetched batch iterator."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = True,
+        seed: int = 0,
+        num_prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.epoch = 0
+        self.num_prefetch = num_prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> list[int]:
+        idx = list(range(len(self.dataset)))
+        if self.shuffle:
+            rng = random.Random(self.seed + self.epoch)
+            rng.shuffle(idx)
+        # shard across processes (DistributedSampler equivalent)
+        idx = idx[self.process_index :: self.process_count]
+        if self.drop_last:
+            n = (len(idx) // self.batch_size) * self.batch_size
+            idx = idx[:n]
+        return idx
+
+    def __len__(self) -> int:
+        idx = len(range(0, len(self.dataset), 1)[self.process_index :: self.process_count])
+        if self.drop_last:
+            return idx // self.batch_size
+        return (idx + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = self._indices()
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.num_prefetch <= 0:
+            for b in batches:
+                yield default_collate([self.dataset[i] for i in b])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for b in batches:
+                    q.put(default_collate([self.dataset[i] for i in b]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

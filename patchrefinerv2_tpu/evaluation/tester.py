@@ -1,0 +1,174 @@
+"""Tester: evaluation / save / pseudo-label / benchmark harness
+(estimator/tester/tester.py:26-455 equivalents).
+
+run: per-image tiled inference, optional colored + uint16x256 PNG dumps
+(:72-106), per-image metrics and cross-process aggregation (:109-127).
+generate_pl (:132-180): pseudo-label uint16 dump for semi-supervised
+training. benchmark (:325-404): fps with warmup over the jitted program
+(block_until_ready is the TPU synchronize). run_consistency (:212-321):
+patch-overlap consistency error.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from patchrefinerv2_tpu.parallel.mesh import allgather_metrics
+from patchrefinerv2_tpu.utils.color import save_colored, save_raw_16bit
+from patchrefinerv2_tpu.utils.logging import print_log
+
+
+class Tester:
+    def __init__(
+        self,
+        config,
+        model,
+        dataloader,
+        work_dir: str = "./work_dir",
+        save: bool = False,
+        cmap: str = "Spectral_r",
+    ):
+        self.config = config
+        self.model = model
+        self.dataloader = dataloader
+        self.work_dir = work_dir
+        self.save = save
+        self.cmap = cmap
+        os.makedirs(work_dir, exist_ok=True)
+
+    def run(
+        self,
+        variables,
+        cai_mode="m1",
+        process_num=4,
+        image_raw_shape=(2160, 3840),
+        patch_split_num=(4, 4),
+    ):
+        results = []
+        tile_cfg = {
+            "image_raw_shape": list(image_raw_shape),
+            "patch_split_num": list(patch_split_num),
+        }
+        dataset = getattr(self.dataloader, "dataset", None)
+        seed = jax.random.PRNGKey(0)
+        for i, batch in enumerate(self.dataloader):
+            seed, sub = jax.random.split(seed)
+            depth, coarse = self.model.infer(
+                variables,
+                batch["image_lr"],
+                batch["image_hr"],
+                cai_mode=cai_mode,
+                process_num=process_num,
+                tile_cfg=tile_cfg,
+                seed=sub,
+            )
+            depth = np.asarray(depth)
+            name = batch.get("img_file_basename", [f"img_{i:05d}"])[0]
+            if self.save:
+                save_colored(depth, os.path.join(self.work_dir, f"{name}.png"), self.cmap)
+                save_raw_16bit(depth, os.path.join(self.work_dir, f"{name}_uint16.png"))
+
+            if "depth_gt" in batch and dataset is not None and hasattr(dataset, "get_metrics"):
+                m = dataset.get_metrics(
+                    np.asarray(batch["depth_gt"]),
+                    depth,
+                    disp_gt_edges=batch.get("boundary"),
+                )
+                if m:
+                    results.append(m)
+        results = allgather_metrics(results)
+        if results and dataset is not None and hasattr(dataset, "evaluate"):
+            return dataset.evaluate(results)
+        if results:
+            agg = {k: float(np.nanmean([r[k] for r in results])) for k in results[0]}
+            print_log("metrics: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+            return agg
+        return {}
+
+    def generate_pl(self, variables, out_dir=None, **infer_kwargs):
+        out_dir = out_dir or self.work_dir
+        os.makedirs(out_dir, exist_ok=True)
+        seed = jax.random.PRNGKey(0)
+        for i, batch in enumerate(self.dataloader):
+            seed, sub = jax.random.split(seed)
+            depth, _ = self.model.infer(
+                variables, batch["image_lr"], batch["image_hr"], seed=sub, **infer_kwargs
+            )
+            name = batch.get("img_file_basename", [f"img_{i:05d}"])[0]
+            save_raw_16bit(np.asarray(depth), os.path.join(out_dir, f"{name}_uint16.png"))
+        print_log(f"pseudo labels written to {out_dir}")
+
+    def benchmark(
+        self,
+        variables,
+        image_lr,
+        image_hr,
+        cai_mode="r32",
+        process_num=4,
+        iters=50,
+        warmup=20,
+        repeats=10,
+        tile_cfg=None,
+    ):
+        """fps over the jitted tiled-inference program (tester.py:325-404)."""
+        seed = jax.random.PRNGKey(0)
+
+        def once():
+            d, _ = self.model.infer(
+                variables, image_lr, image_hr,
+                cai_mode=cai_mode, process_num=process_num, tile_cfg=tile_cfg, seed=seed,
+            )
+            jax.block_until_ready(d)
+
+        fps_list = []
+        for _ in range(repeats):
+            for _ in range(warmup):
+                once()
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                once()
+            dt = time.perf_counter() - t0
+            fps_list.append(iters / dt)
+        fps = float(np.mean(fps_list))
+        var = float(np.var(fps_list))
+        print_log(f"benchmark {cai_mode}: {fps:.3f} fps (var {var:.4f})")
+        return {"fps": fps, "fps_variance": var}
+
+    def run_consistency(
+        self,
+        variables,
+        cai_mode="m1",
+        process_num=4,
+        image_raw_shape=(2160, 3840),
+        overlap=270,
+    ):
+        """Mean abs disagreement in overlapping regions of a fixed 4x4 grid
+        of half-overlapping crops (tester.py:212-321, u4k_dataset.py:62-65)."""
+        errors = []
+        tile_cfg = {"image_raw_shape": list(image_raw_shape), "patch_split_num": [4, 4]}
+        seed = jax.random.PRNGKey(0)
+        for batch in self.dataloader:
+            seed, sub = jax.random.split(seed)
+            depth, _ = self.model.infer(
+                variables, batch["image_lr"], batch["image_hr"],
+                cai_mode=cai_mode, process_num=process_num, tile_cfg=tile_cfg, seed=sub,
+            )
+            depth = np.asarray(depth)
+            h, w = depth.shape
+            ph, pw = h // 4, w // 4
+            # adjacent-tile borders: compare strips of width `overlap`
+            for r in range(4):
+                for c in range(3):
+                    x = (c + 1) * pw
+                    left = depth[r * ph : (r + 1) * ph, max(x - overlap, 0) : x]
+                    right = depth[r * ph : (r + 1) * ph, x : min(x + overlap, w)]
+                    m = min(left.shape[1], right.shape[1])
+                    if m > 0:
+                        errors.append(np.abs(left[:, -m:] - right[:, :m]).mean())
+        cons = float(np.mean(errors)) if errors else float("nan")
+        print_log(f"consistency error: {cons:.5f}")
+        return {"consistency": cons}

@@ -3,4 +3,5 @@
 from patchrefinerv2_tpu.models import losses  # noqa: F401
 from patchrefinerv2_tpu.models.blocks import refiner, fusion  # noqa: F401
 from patchrefinerv2_tpu.models import patchrefinerplus  # noqa: F401
+from patchrefinerv2_tpu.models import patchrefiner  # noqa: F401
 from patchrefinerv2_tpu.models import baseline_pretrain  # noqa: F401

@@ -1,0 +1,179 @@
+"""Fusion heads: BiDirectionalFusion (V2) and FusionUnet (V1).
+
+Capability match:
+* FusionUnet + UpSample — estimator/models/blocks/fusion_model.py:7-123
+  (per-level SingleConvCNNLN encode of concat(coarse, fine) + preds,
+  upsample-concat DoubleConv decoder, 3x3 offset conv).
+* BiDirectionalFusion — estimator/models/blocks/
+  bi_directional_fusion_model.py:289-446: optional coarse2fine module
+  (self-agg / coarse-gated / coarse-fusion C2FModule, only-gate
+  C2FNOENCModule) rewrites the fine pyramid and pred2, then the fine2coarse
+  UNet produces the final offset; update_base + offset clamped >= 0.
+
+Feature list convention here matches the reference call sites: ``c_feat``
+and ``f_feat`` are high-resolution-first lists of ``fusion_feat_level``
+maps (NHWC); ``pred1``/``pred2`` are (B, h, w, 1).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from patchrefinerv2_tpu.registry import MODELS
+from patchrefinerv2_tpu.models.blocks.convs import DoubleConv, SingleConvCNNLN
+from patchrefinerv2_tpu.models.blocks.dpt import C2FModule, C2FNOENCModule
+from patchrefinerv2_tpu.ops.resize import resize
+
+
+def _interp(x, size):
+    return resize(x, size, mode="bilinear", align_corners=True)
+
+
+class UpSample(nn.Module):
+    """Upscale-concat-DoubleConv decoder stage (fusion_model.py:7-35)."""
+
+    out_ch: int
+    mid_ch: int
+
+    @nn.compact
+    def __call__(self, x1, x2, pred1, pred2):
+        size = x2.shape[1:3]
+        x1 = _interp(x1, size)
+        pred1 = _interp(pred1, size)
+        pred2 = _interp(pred2, size)
+        x = jnp.concatenate([x1, x2, pred1, pred2], axis=-1)
+        return DoubleConv(self.out_ch, self.mid_ch)(x)
+
+
+@MODELS.register_module()
+class FusionUnet(nn.Module):
+    """V1 offset head (fusion_model.py:52-123)."""
+
+    input_chl: Sequence[int] = (64, 512, 512)
+    temp_chl: Sequence[int] = (32, 256, 256)
+    dec_chl: Sequence[int] = (256, 32)
+    glb_att: bool = False  # parity with BiDirectionalFusion interface
+
+    @nn.compact
+    def __call__(self, c_feat, f_feat, pred1, pred2, update_base=None, **_):
+        temp_feats = []
+        for idx, (c, f) in enumerate(zip(c_feat, f_feat)):
+            h = SingleConvCNNLN(self.temp_chl[idx], name=f"enc1_{idx}")(
+                jnp.concatenate([c, f], axis=-1)
+            )
+            p1 = _interp(pred1, h.shape[1:3])
+            p2 = _interp(pred2, h.shape[1:3])
+            h = SingleConvCNNLN(self.temp_chl[idx], name=f"enc2_{idx}")(
+                jnp.concatenate([h, p1, p2], axis=-1)
+            )
+            temp_feats.append(h)
+
+        rev = temp_feats[::-1]
+        cur = rev[0]
+        mids = list(self.temp_chl)[::-1]
+        in_mid = mids[0]
+        for idx, (feat, dec_c) in enumerate(zip(rev[1:], self.dec_chl)):
+            mid = mids[idx + 1] + in_mid + 2
+            cur = UpSample(dec_c, mid, name=f"dec_{idx}")(cur, feat, pred1, pred2)
+            in_mid = dec_c
+
+        offset = nn.Conv(1, (3, 3), use_bias=False, name="final_conv")(cur)
+        if update_base is not None:
+            return jnp.maximum(update_base + offset, 0.0)
+        return offset
+
+
+@MODELS.register_module()
+class BiDirectionalFusion(nn.Module):
+    """V2 fusion head (bi_directional_fusion_model.py:289-446)."""
+
+    encoder_name: str = ""
+    coarse2fine: bool = True
+    coarse2fine_type: str = "coarse-gated"
+    fine2coarse: bool = True
+    coarse_chl: Sequence[int] = (32, 256, 256, 256, 256, 256)
+    fine_chl: Sequence[int] = (24, 40, 64, 176, 512)
+    fine_chl_after_coarse2fine: Sequence[int] = (32, 256, 256, 256, 256, 256)
+    temp_chl: Sequence[int] = (32, 64, 64, 128, 256, 512)
+    dec_chl: Sequence[int] = (512, 256, 128, 64, 32)
+    glb_att: bool = False
+    att_dim: int = 256
+    select_feat_index: Sequence[int] = (-1,)
+    pe_type: str = "none"
+    c2f_features: int = 256  # C2F decoder width (reference hardcodes 256)
+
+    @nn.compact
+    def __call__(
+        self,
+        c_feat,
+        f_feat,
+        pred1,
+        pred2,
+        update_base=None,
+        pe_list=None,
+        pe_patch_list=None,
+    ):
+        c_feat = list(c_feat)
+        f_feat = list(f_feat)
+
+        # align coarse levels onto the fine grid when processing shapes
+        # differ (bi_directional_fusion_model.py:389-393 checks only the last
+        # level; we align per-level — identical where the reference works,
+        # robust when intermediate pyramids disagree)
+        c_feat = [
+            _interp(c, f.shape[1:3]) if c.shape[1:3] != f.shape[1:3] else c
+            for c, f in zip(c_feat, f_feat)
+        ]
+
+        if self.glb_att:
+            raise NotImplementedError(
+                "glb_att TwoWayTransformer path lands with the ablation-config milestone"
+            )
+
+        if self.coarse2fine:
+            fine5 = f_feat[1:]  # drop duplicated top level
+            gate = self.coarse2fine_type == "coarse-gated"
+            fusion = self.coarse2fine_type in ("coarse-gated", "coarse-fusion", "only-gate")
+            if self.coarse2fine_type == "only-gate":
+                c2f_feats, out_depth = C2FNOENCModule(
+                    features=self.c2f_features, gate=False, fusion=True, name="c2f"
+                )(fine5, c_feat)
+            else:
+                c2f_feats, out_depth = C2FModule(
+                    features=self.c2f_features,
+                    head2_features=self.coarse_chl[0],
+                    gate=gate,
+                    fusion=fusion,
+                    name="c2f",
+                )(fine5, c_feat)
+            f_feat = c2f_feats[::-1]  # high-res first
+            pred2 = out_depth
+
+        temp_feats = []
+        for idx, (c, f) in enumerate(zip(c_feat, f_feat)):
+            h = SingleConvCNNLN(self.temp_chl[idx], name=f"fusion1_{idx}")(
+                jnp.concatenate([c, f], axis=-1)
+            )
+            p1 = _interp(pred1, h.shape[1:3])
+            p2 = _interp(pred2, h.shape[1:3])
+            h = SingleConvCNNLN(self.temp_chl[idx], name=f"fusion2_{idx}")(
+                jnp.concatenate([h, p1, p2], axis=-1)
+            )
+            temp_feats.append(h)
+
+        rev = temp_feats[::-1]  # low-res first
+        cur = rev[0]
+        mids = list(self.temp_chl)[::-1]
+        in_mid = mids[0]
+        for idx, (feat, dec_c) in enumerate(zip(rev[1:], self.dec_chl)):
+            mid = mids[idx + 1] + in_mid + 2
+            cur = UpSample(dec_c, mid, name=f"f2r_agg_{idx}")(cur, feat, pred1, pred2)
+            in_mid = dec_c
+
+        offset = nn.Conv(1, (3, 3), use_bias=False, name="final_conv")(cur)
+        if update_base is not None:
+            return jnp.maximum(update_base + offset, 0.0)
+        return offset

@@ -1,0 +1,515 @@
+"""PatchRefinerPlus (V2 flagship): coarse branch + lightweight refiner +
+bidirectional fusion + the tiled-inference engine.
+
+Reference: estimator/models/patchrefinerplus.py. The torch version drives
+tiling with host control flow, per-patch roi_align over pre-repeated
+feature tensors, and a CPU accumulator. Here the whole inference for a
+(cai_mode, tile_cfg, process_num) signature is ONE jitted XLA program:
+
+* coarse forward once per image (patchrefinerplus.py:479),
+* per-chunk: crop+resize patches (MXU matmuls), roi_align the 6 coarse
+  levels + coarse depth for the chunk only (saves the patch_num x feature
+  blow-up of coarse_postprocess_test, :263-296),
+* refiner encoder + fusion per chunk,
+* scatter-add blending into HBM canvases (ops/blend.py) — no host trips
+  (the reference detours through CPU per patch, baseline_pretrain.py:367).
+
+Training (:427-467): bbox normalize (pre_norm_bbox), coarse (optionally
+stop-gradient when e2e_training=False, :126-129), roi per level, refiner +
+fusion, SILog + GradMatch mix. Pretrain stage (:382-424): refiner +
+decoder with hacked coarse features (mean_0_std_1 / constant).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from patchrefinerv2_tpu.config import ConfigDict
+from patchrefinerv2_tpu.registry import MODELS, build_model
+from patchrefinerv2_tpu.models.backbones.beit import MidasDPTBEiT
+from patchrefinerv2_tpu.models.backbones.dpt import DepthAnythingV2
+from patchrefinerv2_tpu.models.backbones.zoedepth import ZoeDepthDA, ZoeDepthHead
+from patchrefinerv2_tpu.models.tiling import (
+    TileCfg,
+    crop_resize_patches,
+    random_pass_starts,
+    regular_pass,
+)
+from patchrefinerv2_tpu.ops.blend import TileBlender
+from patchrefinerv2_tpu.ops.masks import generate_blend_mask
+from patchrefinerv2_tpu.ops.resize import resize
+from patchrefinerv2_tpu.ops.roi_align import roi_align
+
+
+def _da_round(size: tuple[int, int]) -> tuple[int, int]:
+    """DA resizer target: round to multiple of 14 (transform.py:52-75)."""
+    return (int(round(size[0] / 14) * 14), int(round(size[1] / 14) * 14))
+
+
+class ZoeDepthBEiT(nn.Module):
+    """'ZoeDepth' coarse type: BEiT MiDaS core + metric bins head
+    (zoedepth_v1.py:296-311 with midas_model_type='DPT_BEiT_L_384')."""
+
+    n_bins: int = 64
+    bin_centers_type: str = "softplus"
+    bin_embedding_dim: int = 128
+    min_depth: float = 1e-3
+    max_depth: float = 10.0
+    n_attractors: Sequence[int] = (16, 8, 4, 1)
+    attractor_alpha: float = 300.0
+    attractor_gamma: int = 2
+    attractor_kind: str = "sum"
+    attractor_type: str = "exp"
+    min_temp: float = 0.0212
+    max_temp: float = 50.0
+
+    @nn.compact
+    def __call__(self, x):
+        rel, pyramid = MidasDPTBEiT(name="core")(x)
+        return ZoeDepthHead(
+            n_bins=self.n_bins,
+            bin_centers_type=self.bin_centers_type,
+            bin_embedding_dim=self.bin_embedding_dim,
+            min_depth=self.min_depth,
+            max_depth=self.max_depth,
+            n_attractors=tuple(self.n_attractors),
+            attractor_alpha=self.attractor_alpha,
+            attractor_gamma=self.attractor_gamma,
+            attractor_kind=self.attractor_kind,
+            attractor_type=self.attractor_type,
+            min_temp=self.min_temp,
+            max_temp=self.max_temp,
+            name="head",
+        )(rel, pyramid)
+
+
+def build_coarse_branch(cfg: ConfigDict, min_depth: float, max_depth: float):
+    """Map reference coarse_branch configs to flax modules.
+
+    Returns (module, resizer_kind) where resizer_kind in {'zoe', 'da'}
+    selects the estimator patch resizer semantics
+    (patchrefinerplus.py:102-124).
+    """
+    ctype = cfg["type"]
+    if ctype == "ZoeDepth":
+        return (
+            ZoeDepthBEiT(
+                n_bins=cfg.get("n_bins", 64),
+                bin_centers_type=cfg.get("bin_centers_type", "softplus"),
+                bin_embedding_dim=cfg.get("bin_embedding_dim", 128),
+                min_depth=min_depth,
+                max_depth=max_depth,
+                n_attractors=tuple(cfg.get("n_attractors", [16, 8, 4, 1])),
+                attractor_alpha=cfg.get("attractor_alpha", 1000),
+                attractor_gamma=cfg.get("attractor_gamma", 2),
+                attractor_kind=cfg.get("attractor_kind", "mean"),
+                attractor_type=cfg.get("attractor_type", "inv"),
+                min_temp=cfg.get("min_temp", 0.0212),
+                max_temp=cfg.get("max_temp", 50.0),
+            ),
+            "zoe",
+        )
+    if ctype == "DA-ZoeDepth":
+        return (
+            ZoeDepthDA(
+                encoder=cfg.get("encoder", "vits"),
+                core_features=cfg.get("core_features", 256),
+                core_out_channels=tuple(cfg.get("core_out_channels", [256, 512, 1024, 1024])),
+                n_bins=cfg.get("n_bins", 64),
+                bin_centers_type=cfg.get("bin_centers_type", "softplus"),
+                min_depth=min_depth,
+                max_depth=max_depth,
+                n_attractors=tuple(cfg.get("n_attractors", [16, 8, 4, 1])),
+                attractor_alpha=cfg.get("attractor_alpha", 1000),
+                attractor_gamma=cfg.get("attractor_gamma", 2),
+                attractor_kind=cfg.get("attractor_kind", "mean"),
+                attractor_type=cfg.get("attractor_type", "inv"),
+            ),
+            "da",
+        )
+    if ctype == "DA2":
+        mc = cfg.get("model_cfg", {})
+        return (
+            DepthAnythingV2(
+                encoder=mc.get("encoder", "vitl"),
+                features=mc.get("features", 256),
+                max_depth=max_depth,
+            ),
+            "da",
+        )
+    raise ValueError(f"unknown coarse branch type {ctype!r}")
+
+
+class PRPlusNet(nn.Module):
+    """The pure compute graph; orchestration lives in PatchRefinerPlus."""
+
+    coarse: nn.Module | None
+    fine: nn.Module
+    fusion: nn.Module
+    min_depth: float
+    max_depth: float
+    strategy_refiner_target: str
+    patch_process_shape: tuple[int, int]
+    fusion_feat_level: int
+    e2e_training: bool
+    coarse_is_da2: bool = False
+
+    def coarse_forward(self, image_lr):
+        out = self.coarse(image_lr)
+        feats = out["coarse_features"]
+        pred = out["metric_depth"]
+        if not self.e2e_training:
+            feats = [jax.lax.stop_gradient(f) for f in feats]
+            pred = jax.lax.stop_gradient(pred)
+        return feats, pred
+
+    def _roi(self, coarse_pred, coarse_feats, bboxes, box_idx):
+        """roi_align each level + prediction (patchrefinerplus.py:239-296);
+        spatial_scale = h_feat / patch_process_h, out_size = feature size."""
+        pph = self.patch_process_shape[0]
+        feat_rois = []
+        for feat in coarse_feats:
+            h, w = feat.shape[1:3]
+            feat_rois.append(
+                roi_align(feat, bboxes, box_idx, (h, w), h / pph)
+            )
+        h, w = coarse_pred.shape[1:3]
+        pred_roi = roi_align(coarse_pred, bboxes, box_idx, (h, w), h / pph)
+        return feat_rois, pred_roi
+
+    def refine(self, imgs_crop, coarse_feat_rois, coarse_pred_roi, train: bool = False):
+        """Refiner + fusion on a batch of patches (infer_forward,
+        patchrefinerplus.py:330-365)."""
+        r_feats, r_depth = self.fine(imgs_crop, coarse_pred_roi, train=train)
+        if self.strategy_refiner_target == "offset_fine":
+            update_base = r_depth
+        elif self.strategy_refiner_target == "offset_coarse":
+            update_base = coarse_pred_roi
+        else:
+            update_base = None
+        L = self.fusion_feat_level
+        c_list = list(coarse_feat_rois)[-L:][::-1]
+        f_list = list(r_feats)[-L:][::-1]
+        depth = self.fusion(
+            c_list, f_list, coarse_pred_roi, r_depth, update_base=update_base
+        )
+        if self.strategy_refiner_target == "direct":
+            depth = nn.sigmoid(depth) * self.max_depth
+        return depth
+
+    def infer_chunk(self, imgs_crop, coarse_pred, coarse_feats, bboxes):
+        """One inference chunk: rois for these boxes only, then refine."""
+        idx = jnp.zeros((bboxes.shape[0],), jnp.int32)
+        feat_rois, pred_roi = self._roi(coarse_pred, coarse_feats, bboxes, idx)
+        return self.refine(imgs_crop, feat_rois, pred_roi, train=False)
+
+    def train_forward(self, image_lr, crops_image_hr, bboxs):
+        """Training graph up to the depth prediction (losses applied by the
+        orchestrator; patchrefinerplus.py:427-457)."""
+        coarse_feats, coarse_pred = self.coarse_forward(image_lr)
+        idx = jnp.arange(bboxs.shape[0], dtype=jnp.int32)
+        feat_rois, pred_roi = self._roi(coarse_pred, coarse_feats, bboxs, idx)
+        depth = self.refine(crops_image_hr, feat_rois, pred_roi, train=True)
+        return depth, coarse_pred
+
+    def pretrain_forward(self, image_lr, hack_strategy: str, rng=None):
+        """Refiner pretraining with hacked coarse features
+        (patchrefinerplus.py:382-424)."""
+        feats, r_depth = self.fine(image_lr, None, train=True)
+        c_list = []
+        for i, f in enumerate(feats):
+            b, h, w, _ = f.shape
+            c = (128 if self.coarse_is_da2 else 32) if i == 5 else 256
+            if hack_strategy == "mean_0_std_1":
+                rng, sub = jax.random.split(rng)
+                c_list.append(jax.random.normal(sub, (b, h, w, c), f.dtype))
+            else:
+                c_list.append(jnp.ones((b, h, w, c), f.dtype))
+        pred1 = jnp.zeros_like(r_depth)
+        depth = self.fusion(
+            c_list[::-1], list(feats)[::-1], pred1, r_depth, update_base=None
+        )
+        return nn.relu(depth)
+
+
+@MODELS.register_module()
+class PatchRefinerPlus:
+    """Config-built orchestrator: init / train loss / tiled inference."""
+
+    def __init__(self, config: dict):
+        cfg = ConfigDict(ConfigDict._wrap(config))
+        self.config = cfg
+        self.min_depth = cfg.min_depth
+        self.max_depth = cfg.max_depth
+        self.patch_process_shape = tuple(cfg.patch_process_shape)
+        self.tile_cfg = TileCfg(
+            tuple(cfg.image_raw_shape),
+            tuple(cfg.patch_split_num),
+            self.patch_process_shape,
+        )
+        self.pre_norm_bbox = cfg.get("pre_norm_bbox", True)
+        self.pretrain_stage = cfg.get("pretrain_stage", False)
+        self.hack_strategy = cfg.get("hack_strategy", "mean_0_std_1")
+        self.strategy_refiner_target = cfg.get("strategy_refiner_target", "offset_coarse")
+        self.fusion_feat_level = cfg.get("fusion_feat_level", 6)
+        self.sigweight = cfg.get("sigweight", 1.0)
+        self.sigloss = build_model(cfg.sigloss)
+        self.gmloss = build_model(cfg.get("gmloss", {"type": "GradMatchLoss"}))
+
+        coarse_is_da2 = False
+        if self.pretrain_stage:
+            coarse_mod, self.resizer_kind = None, "zoe"
+            if "coarse_branch" in cfg and cfg.coarse_branch.get("type") == "DA2":
+                coarse_is_da2 = True
+        else:
+            coarse_mod, self.resizer_kind = build_coarse_branch(
+                cfg.coarse_branch, self.min_depth, self.max_depth
+            )
+            coarse_is_da2 = cfg.coarse_branch.get("type") == "DA2"
+        fine = build_model(cfg.refiner.fine_branch)
+        fusion = build_model(cfg.refiner.fusion_model)
+        self.e2e_training = cfg.get("e2e_training", False)
+        self.net = PRPlusNet(
+            coarse=coarse_mod,
+            fine=fine,
+            fusion=fusion,
+            min_depth=self.min_depth,
+            max_depth=self.max_depth,
+            strategy_refiner_target=self.strategy_refiner_target,
+            patch_process_shape=self.patch_process_shape,
+            fusion_feat_level=self.fusion_feat_level,
+            e2e_training=self.e2e_training,
+            coarse_is_da2=coarse_is_da2,
+        )
+
+    # ---------------------------------------------------------- helpers
+    @property
+    def patch_input_shape(self) -> tuple[int, int]:
+        """Resizer output = patch network input (378x518-style rounding for
+        DA cores, exact process shape for Zoe; patchrefinerplus.py:108-121)."""
+        if self.resizer_kind == "da":
+            return _da_round(self.patch_process_shape)
+        return self.patch_process_shape
+
+    def coarse_input_shape(self, lr_shape: tuple[int, int]) -> tuple[int, int]:
+        if self.resizer_kind == "da":
+            return _da_round(lr_shape)
+        return lr_shape
+
+    # ------------------------------------------------------------- init
+    def init(self, rng: jax.Array, train_batch: dict | None = None):
+        """Initialize all variables from a canonical shape set.
+
+        The whole init runs as one jitted program — eager flax init compiles
+        a tiny XLA program per parameter, which is minutes of host time for
+        nets this size."""
+        pph, ppw = self.patch_input_shape
+        if self.pretrain_stage:
+            image_lr = jnp.zeros((1, pph, ppw, 3), jnp.float32)
+
+            def init_fn(r):
+                return self.net.init(
+                    r, image_lr, self.hack_strategy, r, method=PRPlusNet.pretrain_forward
+                )
+
+            return jax.jit(init_fn)(rng)
+        clh, clw = self.coarse_input_shape(self.patch_process_shape)
+        image_lr = jnp.zeros((1, clh, clw, 3), jnp.float32)
+        crops = jnp.zeros((1, pph, ppw, 3), jnp.float32)
+        bboxs = jnp.asarray([[0.0, 0.0, ppw / 4, pph / 4]], jnp.float32)
+
+        def init_fn(r):
+            return self.net.init(r, image_lr, crops, bboxs, method=PRPlusNet.train_forward)
+
+        return jax.jit(init_fn)(rng)
+
+    # ------------------------------------------------------- jitted loss
+    def loss_jit(self, variables, batch, rng=None, mutable=False):
+        """One-compile version of :meth:`loss` (cached per mutable flag +
+        batch structure)."""
+        key = bool(mutable)
+        if not hasattr(self, "_loss_jit_cache"):
+            self._loss_jit_cache = {}
+        if key not in self._loss_jit_cache:
+            mut = ["batch_stats"] if mutable else False
+            self._loss_jit_cache[key] = jax.jit(
+                lambda v, b, r: self.loss(v, b, rng=r, mutable=mut)
+            )
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._loss_jit_cache[key](variables, batch, rng)
+
+    # ------------------------------------------------------------ train
+    def loss(self, variables, batch: dict, rng: jax.Array | None = None, mutable=False):
+        """(loss_dict, aux). batch keys follow the reference collect_input
+        contract (u4k_dataset.py:206-213): image_lr, crops_image_hr,
+        depth_gt, crop_depths, bboxs — all NHWC jnp arrays."""
+        if self.pretrain_stage:
+            out = self.net.apply(
+                variables,
+                batch["image_lr"],
+                self.hack_strategy,
+                rng,
+                method=PRPlusNet.pretrain_forward,
+                mutable=mutable,
+            )
+            depth, new_vars = out if mutable else (out, None)
+            sig = self.sigloss(depth, batch["depth_gt"], self.min_depth, self.max_depth)
+            loss_dict = {"sig_fine_loss": sig, "total_loss": sig}
+            return loss_dict, {"depth_pred": depth, "variables": new_vars}
+
+        bboxs = batch["bboxs"].astype(jnp.float32)
+        if not self.pre_norm_bbox:
+            rh, rw = self.tile_cfg.image_raw_shape
+            ph, pw = self.patch_process_shape
+            factor = jnp.asarray([pw / rw, ph / rh, pw / rw, ph / rh], jnp.float32)
+            bboxs = bboxs * factor
+        out = self.net.apply(
+            variables,
+            batch["image_lr"],
+            batch["crops_image_hr"],
+            bboxs,
+            method=PRPlusNet.train_forward,
+            mutable=mutable,
+        )
+        (depth, coarse_pred), new_vars = out if mutable else (out, None)
+        sig = self.sigloss(depth, batch["crop_depths"], self.min_depth, self.max_depth)
+        gm = self.gmloss(depth, batch["crop_depths"], self.min_depth, self.max_depth)
+        total = self.sigweight * sig + (1.0 - self.sigweight) * gm
+        loss_dict = {"sig_fine_loss": sig, "gm_loss": gm, "total_loss": total}
+        return loss_dict, {
+            "depth_pred": depth,
+            "coarse_prediction": coarse_pred,
+            "variables": new_vars,
+        }
+
+    # ------------------------------------------------------------ infer
+    def _build_infer_fn(self, cai_mode: str, tile_cfg: TileCfg, process_num: int):
+        """Trace one full tiled-inference program for a static signature."""
+        net = self.net
+        pph, ppw = self.patch_process_shape
+        in_shape = self.patch_input_shape
+        prh, prw = tile_cfg.patch_raw_shape
+        reensemble = tile_cfg.patch_reensemble_shape
+        raw = tile_cfg.image_raw_shape
+
+        regular_offsets = [(0, 0)]
+        if cai_mode == "m2" or cai_mode.startswith("r"):
+            regular_offsets += [(0, 1), (1, 0), (1, 1)]
+        passes = [regular_pass(tile_cfg, off, process_num) for off in regular_offsets]
+        n_random_iters = (
+            int(cai_mode[1:]) // process_num if cai_mode.startswith("r") else 0
+        )
+
+        blur_proc = jnp.asarray(generate_blend_mask((pph, ppw), border=0.15))
+        blur_raw = jnp.asarray(generate_blend_mask((prh, prw), border=0.15) + 1e-3)
+
+        def infer_fn(variables, image_lr, image_hr, seed):
+            if self.resizer_kind == "da":
+                target = _da_round(image_lr.shape[1:3])
+                if tuple(image_lr.shape[1:3]) != target:
+                    image_lr = resize(image_lr, target, "bilinear", True)
+            coarse_feats, coarse_pred = net.apply(
+                variables, image_lr, method=PRPlusNet.coarse_forward
+            )
+
+            def refine_chunk(imgs, bboxes):
+                d = net.apply(
+                    variables, imgs, coarse_pred, coarse_feats, bboxes,
+                    method=PRPlusNet.infer_chunk,
+                )
+                return d[..., 0]
+
+            # regular passes: lax.scan over fixed-size chunks — one chunk's
+            # crop+roi+refine graph compiled once per pass, constant memory
+            state = TileBlender.init(reensemble)
+            for pi, p in enumerate(passes):
+                n = p.starts_raw.shape[0]
+                n_chunks = n // process_num
+                valid = (np.arange(n) < p.n_valid).astype(np.float32)
+                xs = (
+                    jnp.asarray(p.starts_raw).reshape(n_chunks, process_num, 2),
+                    jnp.asarray(p.starts_process).reshape(n_chunks, process_num, 2),
+                    jnp.asarray(p.bboxes).reshape(n_chunks, process_num, 4),
+                    jnp.asarray(valid).reshape(n_chunks, process_num),
+                )
+                init_pass = pi == 0
+
+                def chunk_body(st, x, _init=init_pass):
+                    s_raw, s_place, bboxes, v = x
+                    imgs = crop_resize_patches(image_hr[0], s_raw, (prh, prw), in_shape)
+                    preds = refine_chunk(imgs, bboxes)
+                    if preds.shape[1:] != (pph, ppw):
+                        preds = resize(preds[..., None], (pph, ppw), "bilinear", True)[..., 0]
+                    st = TileBlender.add_pass(
+                        st, preds, blur_proc, s_place, init_pass=_init, valid=v
+                    )
+                    return st, None
+
+                state, _ = jax.lax.scan(chunk_body, state, xs)
+
+            if n_random_iters:
+                state = TileBlender.resize(state, raw)
+
+                def rand_body(carry, _):
+                    st, key = carry
+                    key, sub = jax.random.split(key)
+                    starts, bboxes = random_pass_starts(sub, tile_cfg, process_num)
+                    imgs = crop_resize_patches(image_hr[0], starts, (prh, prw), in_shape)
+                    preds = refine_chunk(imgs, bboxes)
+                    # reference resizes random-pass predictions with nearest
+                    # (baseline_pretrain.py:210, F.interpolate default)
+                    preds = resize(preds[..., None], (prh, prw), "nearest")[..., 0]
+                    st = TileBlender.add_pass(st, preds, blur_raw, starts)
+                    return (st, key), None
+
+                (state, _), _ = jax.lax.scan(
+                    rand_body, (state, seed), None, length=n_random_iters
+                )
+
+            depth = TileBlender.finalize(state)
+            return depth, coarse_pred
+
+        return infer_fn
+
+    @functools.lru_cache(maxsize=8)
+    def _jitted_infer(self, cai_mode: str, tile_key: tuple, process_num: int):
+        tile_cfg = TileCfg(tile_key[0], tile_key[1], self.patch_process_shape)
+        fn = self._build_infer_fn(cai_mode, tile_cfg, process_num)
+        return jax.jit(fn)
+
+    def infer(
+        self,
+        variables,
+        image_lr,
+        image_hr,
+        cai_mode: str = "m1",
+        process_num: int = 4,
+        tile_cfg: dict | None = None,
+        seed: jax.Array | None = None,
+    ):
+        """Full-image tiled inference. image_lr (1,h,w,3), image_hr (1,H,W,3).
+
+        Returns (depth (H', W'), coarse_pred) where H' is the reensemble
+        shape for m1/m2 and the raw shape for rN (the Tester resizes to gt
+        for metrics, mirroring tester.py:109-117 / metric.py:100-106).
+        """
+        tc = self.tile_cfg
+        if tile_cfg is not None:
+            tc = TileCfg(
+                tuple(tile_cfg["image_raw_shape"]),
+                tuple(tile_cfg["patch_split_num"]),
+                self.patch_process_shape,
+            )
+        fn = self._jitted_infer(
+            cai_mode, (tc.image_raw_shape, tc.patch_split_num), process_num
+        )
+        if seed is None:
+            seed = jax.random.PRNGKey(0)
+        return fn(variables, image_lr, image_hr, seed)

@@ -1,0 +1,152 @@
+"""Static tile planning: the reference's tiling control flow as data.
+
+Mirrors the geometry of estimator/models/baseline_pretrain.py:
+* ``prepare_tile_cfg`` (:96-124): patch_raw_shape = raw // split,
+  patch_reensemble_shape = process * split.
+* ``regular_tile`` (:235-375): offset grid with stride = patch size; each
+  pass yields raw-space crop starts, reensemble-canvas placement starts,
+  and bboxes pre-normalized to the patch-process coordinate frame
+  (:289-296) for roi_align.
+* ``random_tile`` (:149-231): per call, ``process_num`` random h-starts
+  crossed with ONE random w-start (:160-161 — a reference quirk we keep).
+
+Everything here is host-side numpy computed at trace time; the arrays feed
+a single jitted inference program with static shapes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TileCfg:
+    image_raw_shape: tuple[int, int]
+    patch_split_num: tuple[int, int]
+    patch_process_shape: tuple[int, int]
+
+    @property
+    def patch_raw_shape(self) -> tuple[int, int]:
+        return (
+            self.image_raw_shape[0] // self.patch_split_num[0],
+            self.image_raw_shape[1] // self.patch_split_num[1],
+        )
+
+    @property
+    def patch_reensemble_shape(self) -> tuple[int, int]:
+        return (
+            self.patch_process_shape[0] * self.patch_split_num[0],
+            self.patch_process_shape[1] * self.patch_split_num[1],
+        )
+
+
+@dataclass(frozen=True)
+class RegularPass:
+    """One regular tiling pass: static starts and pre-normalized bboxes."""
+
+    starts_raw: np.ndarray  # (N, 2) int32 [h, w] crop origins in raw coords
+    starts_process: np.ndarray  # (N, 2) int32 placement on reensemble canvas
+    bboxes: np.ndarray  # (N, 4) float32 [x1,y1,x2,y2] in process coords
+    n_valid: int  # patches before padding
+
+
+def bbox_normalize_factor(tile_cfg: TileCfg) -> np.ndarray:
+    """raw xyxy -> process xyxy (baseline_pretrain.py:289-296)."""
+    rh, rw = tile_cfg.image_raw_shape
+    ph, pw = tile_cfg.patch_process_shape
+    return np.array([pw / rw, ph / rh, pw / rw, ph / rh], np.float32)
+
+
+def regular_pass(
+    tile_cfg: TileCfg, offset_frac: tuple[int, int], process_num: int
+) -> RegularPass:
+    """offset_frac in {0, 1}^2: 1 = half-patch offset (m2/rN shifted passes)."""
+    prh, prw = tile_cfg.patch_raw_shape
+    pph, ppw = tile_cfg.patch_process_shape
+    irh, irw = tile_cfg.image_raw_shape
+    reh, rew = tile_cfg.patch_reensemble_shape
+
+    off_h = (prh // 2) * offset_frac[0]
+    off_w = (prw // 2) * offset_frac[1]
+    off_ph = (pph // 2) * offset_frac[0]
+    off_pw = (ppw // 2) * offset_frac[1]
+
+    n_h = (irh - off_h) // prh
+    n_w = (irw - off_w) // prw
+    starts_raw, starts_proc, bboxes = [], [], []
+    factor = bbox_normalize_factor(tile_cfg)
+    for i in range(n_h):
+        for j in range(n_w):
+            hs, ws = off_h + i * prh, off_w + j * prw
+            starts_raw.append((hs, ws))
+            starts_proc.append((off_ph + i * pph, off_pw + j * ppw))
+            bboxes.append(np.array([ws, hs, ws + prw, hs + prh], np.float32) * factor)
+    n_valid = len(starts_raw)
+    # pad to a multiple of process_num with repeats (masked at blend time)
+    pad = (-n_valid) % process_num
+    for _ in range(pad):
+        starts_raw.append(starts_raw[-1])
+        starts_proc.append(starts_proc[-1])
+        bboxes.append(bboxes[-1])
+    return RegularPass(
+        starts_raw=np.asarray(starts_raw, np.int32),
+        starts_process=np.asarray(starts_proc, np.int32),
+        bboxes=np.asarray(bboxes, np.float32),
+        n_valid=n_valid,
+    )
+
+
+def random_pass_starts(
+    key: jax.Array, tile_cfg: TileCfg, process_num: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Traced random crop origins for one random_tile call.
+
+    Returns (starts_raw (process_num, 2) int32, bboxes (process_num, 4) f32).
+    Keeps the reference quirk of a single shared w-start per call
+    (baseline_pretrain.py:160-161). randint upper bounds mirror python
+    random.randint(0, dim - patch - 1) inclusive.
+    """
+    prh, prw = tile_cfg.patch_raw_shape
+    irh, irw = tile_cfg.image_raw_shape
+    kh, kw = jax.random.split(key)
+    h_starts = jax.random.randint(kh, (process_num,), 0, irh - prh)
+    w_start = jax.random.randint(kw, (1,), 0, irw - prw)
+    w_starts = jnp.broadcast_to(w_start, (process_num,))
+    starts = jnp.stack([h_starts, w_starts], axis=-1).astype(jnp.int32)
+    factor = jnp.asarray(bbox_normalize_factor(tile_cfg))
+    boxes = jnp.stack(
+        [w_starts, h_starts, w_starts + prw, h_starts + prh], axis=-1
+    ).astype(jnp.float32) * factor
+    return starts, boxes
+
+
+def crop_resize_patches(
+    image_hr: jnp.ndarray,  # (H, W, 3) raw-resolution image
+    starts: jnp.ndarray,  # (N, 2) int32 [h, w]
+    patch_raw_shape: tuple[int, int],
+    out_shape: tuple[int, int],
+) -> jnp.ndarray:
+    """Crop N raw patches and bilinear(ac=True)-resize to out_shape.
+
+    The resize is expressed as two static interpolation matrices applied per
+    patch (MXU work), matching the estimator resizer semantics
+    (midas.py:171-174 hardcoded bilinear align_corners=True).
+    """
+    from patchrefinerv2_tpu.ops.resize import resize_matrix
+
+    prh, prw = patch_raw_shape
+    wh = jnp.asarray(resize_matrix(prh, out_shape[0], "bilinear", True))
+    ww = jnp.asarray(resize_matrix(prw, out_shape[1], "bilinear", True))
+
+    def one(start):
+        patch = jax.lax.dynamic_slice(
+            image_hr, (start[0], start[1], 0), (prh, prw, image_hr.shape[-1])
+        ).astype(jnp.float32)
+        p = jnp.einsum("oh,hwc->owc", wh, patch, precision="highest")
+        return jnp.einsum("pw,owc->opc", ww, p, precision="highest")
+
+    return jax.vmap(one)(starts)

@@ -1,0 +1,153 @@
+"""Attention ops: exact XLA softmax attention + a Pallas flash kernel.
+
+The reference ViT blocks use plain softmax attention (the xformers
+memory-efficient path falls back to it: external/depth_anything_v2/
+dinov2_layers/attention.py:49-61). ``mha_reference`` reproduces those
+numerics with XLA einsums (MXU-tiled, fused by the compiler) and is the
+ground truth + autodiff path.
+
+``flash_mha`` is a Pallas TPU online-softmax kernel (forward), used for
+inference on long token sequences. Sequences are padded to the KV block
+size; padded key columns are masked with -inf before the online softmax so
+the result matches the exact path bit-for-tolerance. A custom_vjp routes
+gradients through the reference implementation (the refiner never trains
+through flash in round 1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["mha_reference", "flash_mha", "mha"]
+
+_NEG_INF = -1e30
+
+
+def mha_reference(q, k, v, scale: float | None = None):
+    """q, k, v: (B, H, S, D). Exact softmax attention in float32."""
+    d = q.shape[-1]
+    scale = scale if scale is not None else d**-0.5
+    qf = q.astype(jnp.float32) * scale
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, k.astype(jnp.float32))
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return o.astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_len, block_kv):
+    kv_idx = pl.program_id(2)
+    n_kv = pl.num_programs(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (bq, d)
+    k = k_ref[0].astype(jnp.float32)  # (bk, d)
+    v = v_ref[0].astype(jnp.float32)  # (bk, d)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+
+    # mask padded kv columns (static kv_len)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
+    s = jnp.where(col < kv_len, s, _NEG_INF)
+
+    m_prev = m_scr[:]  # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+    acc_scr[:] = acc
+
+    @pl.when(kv_idx == n_kv - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, scale, block_q, block_kv, interpret):
+    b, h, s_q, d = q.shape
+    s_kv = k.shape[2]
+
+    def pad_to(x, mult, axis):
+        pad = (-x.shape[axis]) % mult
+        if pad == 0:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return jnp.pad(x, widths)
+
+    qp = pad_to(q.reshape(b * h, s_q, d), block_q, 1)
+    kp = pad_to(k.reshape(b * h, s_kv, d), block_kv, 1)
+    vp = pad_to(v.reshape(b * h, s_kv, d), block_kv, 1)
+    sq_p, skv_p = qp.shape[1], kp.shape[1]
+
+    grid = (b * h, sq_p // block_q, skv_p // block_kv)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, kv_len=s_kv, block_kv=block_kv
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, d), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+                pl.BlockSpec((1, block_kv, d), lambda bh, i, j: (bh, j, 0)),
+                pl.BlockSpec((1, block_kv, d), lambda bh, i, j: (bh, j, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :s_q].reshape(b, h, s_q, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_mha(q, k, v, scale=None, block_q=256, block_kv=256, interpret=False):
+    """Flash attention forward. q, k, v: (B, H, S, D)."""
+    d = q.shape[-1]
+    s = scale if scale is not None else d**-0.5
+    return _flash_forward(q, k, v, s, block_q, block_kv, interpret)
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_kv, interpret):
+    return flash_mha(q, k, v, scale, block_q, block_kv, interpret), (q, k, v)
+
+
+def _flash_bwd(scale, block_q, block_kv, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: mha_reference(q, k, v, scale), q, k, v)
+    return vjp(g)
+
+
+flash_mha.defvjp(_flash_fwd, _flash_bwd)
+
+
+def mha(q, k, v, scale=None, use_flash=False, interpret=False):
+    if use_flash:
+        return flash_mha(q, k, v, scale, interpret=interpret)
+    return mha_reference(q, k, v, scale)

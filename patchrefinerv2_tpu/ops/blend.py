@@ -57,23 +57,29 @@ class TileBlender:
         mask: jnp.ndarray,  # (h, w) blur mask shared by the pass
         starts: jnp.ndarray,  # (N, 2) int32 [h_start, w_start]
         init_pass: bool = False,
+        valid: jnp.ndarray | None = None,  # (N,) 0/1 — padded patches get 0
     ) -> BlendState:
         mask = mask.astype(state.sum_w.dtype)
+        if valid is None:
+            valid = jnp.ones((preds.shape[0],), state.sum_w.dtype)
 
         def body(carry, inp):
             mosaic, swp, sw = carry
-            p, st = inp
+            p, st, v = inp
             p = p.astype(swp.dtype)
+            m = mask * v
             cur_wp = jax.lax.dynamic_slice(swp, st, p.shape)
             cur_w = jax.lax.dynamic_slice(sw, st, p.shape)
-            swp = jax.lax.dynamic_update_slice(swp, cur_wp + p * mask, st)
-            sw = jax.lax.dynamic_update_slice(sw, cur_w + mask, st)
+            swp = jax.lax.dynamic_update_slice(swp, cur_wp + p * m, st)
+            sw = jax.lax.dynamic_update_slice(sw, cur_w + m, st)
             if init_pass:
                 mosaic = jax.lax.dynamic_update_slice(mosaic, p, st)
             return (mosaic, swp, sw), None
 
         (mosaic, swp, sw), _ = jax.lax.scan(
-            body, (state.mosaic, state.sum_wp, state.sum_w), (preds, starts.astype(jnp.int32))
+            body,
+            (state.mosaic, state.sum_wp, state.sum_w),
+            (preds, starts.astype(jnp.int32), valid.astype(state.sum_w.dtype)),
         )
         return BlendState(mosaic, swp, sw)
 

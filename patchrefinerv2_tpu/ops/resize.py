@@ -26,7 +26,11 @@ __all__ = ["resize", "resize_matrix", "resize_nchw_like_torch"]
 
 @functools.lru_cache(maxsize=None)
 def _resize_matrix_np(
-    in_size: int, out_size: int, mode: str, align_corners: bool
+    in_size: int,
+    out_size: int,
+    mode: str,
+    align_corners: bool,
+    scale_override: float | None = None,
 ) -> np.ndarray:
     """Rows = output pixels, cols = input pixels; row @ input = output."""
     w = np.zeros((out_size, in_size), dtype=np.float64)
@@ -51,7 +55,9 @@ def _resize_matrix_np(
         scale = np.float32((in_size - 1) / (out_size - 1)) if out_size > 1 else np.float32(0.0)
         src = (dst * scale).astype(np.float32)
     else:
-        scale = np.float32(in_size / out_size)
+        # torch uses 1/scale_factor when the caller passed scale_factor=
+        # (recompute_scale_factor=False), else in/out
+        scale = np.float32(1.0 / scale_override) if scale_override else np.float32(in_size / out_size)
         src = ((dst + np.float32(0.5)) * scale - np.float32(0.5)).astype(np.float32)
         if mode != "bicubic":
             # torch clamps the source index at 0 for linear modes but not cubic
@@ -96,8 +102,14 @@ def _resize_matrix_np(
     return w.astype(np.float32)
 
 
-def resize_matrix(in_size: int, out_size: int, mode: str, align_corners: bool):
-    return _resize_matrix_np(in_size, out_size, mode, bool(align_corners))
+def resize_matrix(
+    in_size: int,
+    out_size: int,
+    mode: str,
+    align_corners: bool,
+    scale_override: float | None = None,
+):
+    return _resize_matrix_np(in_size, out_size, mode, bool(align_corners), scale_override)
 
 
 def resize(
@@ -105,6 +117,7 @@ def resize(
     size: tuple[int, int],
     mode: str = "bilinear",
     align_corners: bool = False,
+    scale_override: tuple[float, float] | None = None,
 ) -> jnp.ndarray:
     """Resize NHWC (or HWC / NHW1-style) array to ``size=(H, W)``.
 
@@ -112,16 +125,17 @@ def resize(
     align_corners)`` numerically (golden-tested in tests/test_resize.py).
     """
     if x.ndim == 3:  # HWC
-        return resize(x[None], size, mode, align_corners)[0]
+        return resize(x[None], size, mode, align_corners, scale_override)[0]
     if x.ndim != 4:
         raise ValueError(f"expected NHWC, got shape {x.shape}")
     n, h, w, c = x.shape
     out_h, out_w = int(size[0]), int(size[1])
-    if (h, w) == (out_h, out_w) and mode != "nearest":
+    if (h, w) == (out_h, out_w) and mode != "nearest" and scale_override is None:
         return x
     dtype = x.dtype
-    wh = jnp.asarray(resize_matrix(h, out_h, mode, align_corners))
-    ww = jnp.asarray(resize_matrix(w, out_w, mode, align_corners))
+    sh, sw = scale_override if scale_override else (None, None)
+    wh = jnp.asarray(resize_matrix(h, out_h, mode, align_corners, sh))
+    ww = jnp.asarray(resize_matrix(w, out_w, mode, align_corners, sw))
     y = x.astype(jnp.float32)
     # contract H: (out_h,h) x (n,h,w,c) -> (n,out_h,w,c)
     y = jnp.einsum("oh,nhwc->nowc", wh, y, precision="highest")

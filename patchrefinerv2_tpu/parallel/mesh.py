@@ -1,0 +1,50 @@
+"""Device mesh + sharding helpers (TPU-native replacement for the
+reference's NCCL/DDP layer, estimator/utils/dist.py:6-43).
+
+The reference's only parallelism is data parallel (SURVEY.md section 2.4).
+Here that is a 1-D ``Mesh(('data',))`` over all chips: the train step is
+jitted with the batch sharded on 'data' and parameters replicated; XLA
+inserts the gradient all-reduce over ICI. Metric gathering uses
+``process_allgather`` on multihost (collect_results_gpu equivalent,
+trainer.py:195-198).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def data_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict with leading batch axis onto the mesh."""
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+
+
+def replicate_tree(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def allgather_metrics(metrics: list[dict]) -> list[dict]:
+    """Cross-process metric gather; identity on single-process runs."""
+    if jax.process_count() == 1:
+        return metrics
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(metrics)
+    return gathered

@@ -9,3 +9,9 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# persistent compilation cache: repeated test runs skip XLA recompiles
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/prv2_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Evaluation / inference entry point (reference CLI: README.md:57-77,
+docs/user_infer.md; tools/test.py absent from the snapshot, rebuilt from
+the Tester API).
+
+Usage:
+    python tools/test.py CONFIG --ckp-path CKPT [--cai-mode m1|m2|rN]
+        [--process-num 4] [--test-type normal|general|consistency|gen]
+        [--save] [--image-raw-shape H W] [--patch-split-num h w]
+        [--cfg-option k=v ...]
+"""
+
+import argparse
+import os
+
+import jax
+
+from patchrefinerv2_tpu.config import Config
+from patchrefinerv2_tpu.registry import build_dataset, build_model
+from patchrefinerv2_tpu.datasets.base import DataLoader
+from patchrefinerv2_tpu.evaluation.tester import Tester
+from patchrefinerv2_tpu.utils.checkpoint import load_checkpoint, merge_pretrained
+from patchrefinerv2_tpu.utils.misc import fix_random_seed, log_env
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config")
+    parser.add_argument("--ckp-path", default=None)
+    parser.add_argument("--cai-mode", default="m1")
+    parser.add_argument("--process-num", type=int, default=4)
+    parser.add_argument(
+        "--test-type", default="normal", choices=["normal", "general", "consistency", "gen"]
+    )
+    parser.add_argument("--save", action="store_true")
+    parser.add_argument("--gray-scale", action="store_true")
+    parser.add_argument("--work-dir", default="./work_dir/test")
+    parser.add_argument("--image-raw-shape", nargs=2, type=int, default=[2160, 3840])
+    parser.add_argument("--patch-split-num", nargs=2, type=int, default=[4, 4])
+    parser.add_argument("--cfg-option", nargs="+", default=None)
+    args = parser.parse_args()
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(args.cfg_option)
+    fix_random_seed(621)
+    log_env(cfg)
+
+    model = build_model(cfg.model)
+    variables = model.init(jax.random.PRNGKey(0))
+    if args.ckp_path:
+        ckpt = load_checkpoint(args.ckp_path)
+        params = merge_pretrained(variables["params"], ckpt["params"])
+        variables = dict(variables, params=params)
+        if "batch_stats" in ckpt and ckpt["batch_stats"]:
+            variables["batch_stats"] = ckpt["batch_stats"]
+
+    loader_key = {
+        "normal": "test_in_dataloader",
+        "general": "general_dataloader",
+        "consistency": "val_consistency_dataloader",
+        "gen": "general_dataloader",
+    }[args.test_type]
+    ds_cfg = cfg.get(loader_key, cfg.get("val_dataloader"))
+    dataset = build_dataset(ds_cfg.dataset)
+    loader = DataLoader(dataset, batch_size=1, shuffle=False,
+                        process_index=jax.process_index(), process_count=jax.process_count())
+
+    tester = Tester(cfg, model, loader, work_dir=args.work_dir, save=args.save)
+    if args.test_type == "gen":
+        tester.generate_pl(
+            variables, cai_mode=args.cai_mode, process_num=args.process_num
+        )
+    elif args.test_type == "consistency":
+        tester.run_consistency(
+            variables, cai_mode=args.cai_mode, process_num=args.process_num,
+            image_raw_shape=tuple(args.image_raw_shape),
+        )
+    else:
+        tester.run(
+            variables,
+            cai_mode=args.cai_mode,
+            process_num=args.process_num,
+            image_raw_shape=tuple(args.image_raw_shape),
+            patch_split_num=tuple(args.patch_split_num),
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Training entry point (reconstructs the reference CLI surface,
+README.md:57-77 / docs/user_training.md — tools/train.py is absent from the
+reference snapshot; behavior rebuilt from the Trainer API).
+
+Usage:
+    python tools/train.py CONFIG [--work-dir D] [--tag T] [--debug]
+                                 [--cfg-option k=v ...]
+"""
+
+import argparse
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", os.environ.get("JAX_PLATFORMS", ""))
+
+import jax
+
+from patchrefinerv2_tpu.config import Config
+from patchrefinerv2_tpu.registry import build_dataset, build_model
+from patchrefinerv2_tpu.datasets.base import DataLoader
+from patchrefinerv2_tpu.training.trainer import Trainer
+from patchrefinerv2_tpu.utils.misc import fix_random_seed, log_env
+from patchrefinerv2_tpu.utils.logging import print_log
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config")
+    parser.add_argument("--work-dir", default=None)
+    parser.add_argument("--log-name", default=None)
+    parser.add_argument("--tag", default="")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--seed", type=int, default=621)
+    parser.add_argument(
+        "--cfg-option", nargs="+", default=None, help="dotted key=value overrides"
+    )
+    args = parser.parse_args()
+
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(args.cfg_option)
+    cfg["seed"] = args.seed
+    cfg["debug"] = args.debug
+    fix_random_seed(args.seed)
+    log_env(cfg)
+
+    work_dir = args.work_dir or os.path.join(
+        "./work_dir", os.path.splitext(os.path.basename(args.config))[0], args.tag
+    )
+
+    model = build_model(cfg.model)
+    train_ds = build_dataset(cfg.train_dataloader.dataset)
+    train_loader = DataLoader(
+        train_ds,
+        batch_size=cfg.train_dataloader.get("batch_size", 4),
+        shuffle=True,
+        seed=args.seed,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    val_loader = None
+    if cfg.get("val_dataloader"):
+        try:
+            val_ds = build_dataset(cfg.val_dataloader.dataset)
+            val_loader = DataLoader(val_ds, batch_size=1, shuffle=False)
+        except (FileNotFoundError, OSError) as e:
+            print_log(f"val dataset unavailable ({e}); skipping validation")
+
+    trainer = Trainer(cfg, model, train_loader, val_loader, work_dir=work_dir)
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()
