@@ -217,26 +217,80 @@ class MobileNetV3LargeFeatures(nn.Module):
         return feats
 
 
-ENCODER_SPECS = {
-    "tf_efficientnet_b5_ap": dict(
-        cls=EfficientNetB5Features,
-        channels=[24, 40, 64, 176, 512],
-        mean=(0.5, 0.5, 0.5),
-        std=(0.5, 0.5, 0.5),
-    ),
-    "mobilenetv3_large_100": dict(
-        cls=MobileNetV3LargeFeatures,
-        channels=[16, 24, 40, 112, 960],
-        mean=(0.485, 0.456, 0.406),
-        std=(0.229, 0.224, 0.225),
-    ),
-}
+def _lazy_specs():
+    from patchrefinerv2_tpu.models.backbones.convnext import ConvNeXtFeatures
+    from patchrefinerv2_tpu.models.backbones.mobilenetv4 import MobileNetV4Features
+    import functools
+
+    imagenet = dict(mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
+    return {
+        "convnext_large": dict(
+            cls=functools.partial(ConvNeXtFeatures, v2=False),
+            channels=[192, 384, 768, 1536],
+            **imagenet,
+        ),
+        "convnextv2_large": dict(
+            cls=functools.partial(ConvNeXtFeatures, v2=True),
+            channels=[192, 384, 768, 1536],
+            **imagenet,
+        ),
+        "convnextv2_large.fcmae_ft_in22k_in1k_384": dict(
+            cls=functools.partial(ConvNeXtFeatures, v2=True),
+            channels=[192, 384, 768, 1536],
+            **imagenet,
+        ),
+        "mobilenetv4_conv_small.e2400_r224_in1k": dict(
+            cls=functools.partial(MobileNetV4Features, variant="small"),
+            channels=[32, 32, 64, 96, 960],
+            mean=(0.5, 0.5, 0.5),
+            std=(0.5, 0.5, 0.5),
+        ),
+        "mobilenetv4_conv_medium.e500_r256_in1k": dict(
+            cls=functools.partial(MobileNetV4Features, variant="medium"),
+            channels=[32, 48, 80, 160, 960],
+            mean=(0.5, 0.5, 0.5),
+            std=(0.5, 0.5, 0.5),
+        ),
+        "mobilenetv4_conv_large.e600_r384_in1k": dict(
+            cls=functools.partial(MobileNetV4Features, variant="large"),
+            channels=[24, 48, 96, 192, 960],
+            mean=(0.5, 0.5, 0.5),
+            std=(0.5, 0.5, 0.5),
+        ),
+    }
+
+
+class _EncoderSpecs(dict):
+    """Encoder table with lazy registration of the heavier families."""
+
+    def __missing__(self, key):
+        extras = _lazy_specs()
+        self.update(extras)
+        if key in self:
+            return self[key]
+        raise NotImplementedError(
+            f"encoder {key!r} not implemented; available: {sorted(set(self) | set(extras))}"
+        )
+
+
+ENCODER_SPECS = _EncoderSpecs(
+    {
+        "tf_efficientnet_b5_ap": dict(
+            cls=EfficientNetB5Features,
+            channels=[24, 40, 64, 176, 512],
+            mean=(0.5, 0.5, 0.5),
+            std=(0.5, 0.5, 0.5),
+        ),
+        "mobilenetv3_large_100": dict(
+            cls=MobileNetV3LargeFeatures,
+            channels=[16, 24, 40, 112, 960],
+            mean=(0.485, 0.456, 0.406),
+            std=(0.229, 0.224, 0.225),
+        ),
+    }
+)
 
 
 def build_encoder(name: str, in_ch: int = 3):
-    if name not in ENCODER_SPECS:
-        raise NotImplementedError(
-            f"encoder {name!r} not implemented yet; available: {sorted(ENCODER_SPECS)}"
-        )
     spec = ENCODER_SPECS[name]
     return spec["cls"](in_ch=in_ch), spec

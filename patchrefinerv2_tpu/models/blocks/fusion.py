@@ -129,9 +129,25 @@ class BiDirectionalFusion(nn.Module):
         ]
 
         if self.glb_att:
-            raise NotImplementedError(
-                "glb_att TwoWayTransformer path lands with the ablation-config milestone"
-            )
+            # TwoWayTransformer cross-attention between selected fine levels
+            # (queries, + roi'd PE) and coarse levels (keys, + whole PE)
+            # (bi_directional_fusion_model.py:337-363,395-404)
+            from patchrefinerv2_tpu.models.blocks.transformers import TwoWayTransformer
+
+            for idx, i in enumerate(self.select_feat_index):
+                sel_c = SingleConvCNNLN(self.att_dim, kernel_size=1, name=f"feat_proj_coarse_{idx}")(c_feat[i])
+                sel_f = SingleConvCNNLN(self.att_dim, kernel_size=1, name=f"feat_proj_fine_{idx}")(f_feat[i])
+                pe = pe_list[::-1][i]
+                pe_patch = pe_patch_list[::-1][i]
+                fine_update, _ = TwoWayTransformer(
+                    depth=2,
+                    embedding_dim=self.att_dim,
+                    num_heads=8,
+                    mlp_dim=1024,
+                    attention_downsample_rate=2,
+                    name=f"att_block_{idx}",
+                )(sel_f, pe_patch, sel_c, pe)
+                f_feat[i] = jnp.concatenate([f_feat[i], fine_update], axis=-1)
 
         if self.coarse2fine:
             fine5 = f_feat[1:]  # drop duplicated top level

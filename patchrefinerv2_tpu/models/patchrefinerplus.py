@@ -159,6 +159,7 @@ class PRPlusNet(nn.Module):
     fusion_feat_level: int
     e2e_training: bool
     coarse_is_da2: bool = False
+    pes: tuple = ()  # PositionEmbeddingRandom per level when glb_att is on
 
     def coarse_forward(self, image_lr):
         out = self.coarse(image_lr)
@@ -183,7 +184,34 @@ class PRPlusNet(nn.Module):
         pred_roi = roi_align(coarse_pred, bboxes, box_idx, (h, w), h / pph)
         return feat_rois, pred_roi
 
-    def refine(self, imgs_crop, coarse_feat_rois, coarse_pred_roi, train: bool = False):
+    def _pe(self, coarse_feats, bboxes, box_idx):
+        """Per-level random-Fourier PEs + their roi'd patches for glb_att
+        (patchrefinerplus.py:248-258): PEs over coarse_features[:-1]."""
+        if not self.pes:
+            return None, None
+        pph = self.patch_process_shape[0]
+        n = bboxes.shape[0]
+        pe_list, pe_patch_list = [], []
+        for i, feat in enumerate(coarse_feats[:-1]):
+            h, w = feat.shape[1:3]
+            pe = self.pes[i]((h, w))[None]  # (1, h, w, C)
+            pe_b = jnp.broadcast_to(pe, (n,) + pe.shape[1:])
+            pe_patch = roi_align(
+                pe_b, bboxes, jnp.arange(n, dtype=jnp.int32), (h, w), h / pph
+            )
+            pe_list.append(jnp.broadcast_to(pe, (n,) + pe.shape[1:]))
+            pe_patch_list.append(pe_patch)
+        return pe_list, pe_patch_list
+
+    def refine(
+        self,
+        imgs_crop,
+        coarse_feat_rois,
+        coarse_pred_roi,
+        train: bool = False,
+        pe_list=None,
+        pe_patch_list=None,
+    ):
         """Refiner + fusion on a batch of patches (infer_forward,
         patchrefinerplus.py:330-365)."""
         r_feats, r_depth = self.fine(imgs_crop, coarse_pred_roi, train=train)
@@ -197,7 +225,8 @@ class PRPlusNet(nn.Module):
         c_list = list(coarse_feat_rois)[-L:][::-1]
         f_list = list(r_feats)[-L:][::-1]
         depth = self.fusion(
-            c_list, f_list, coarse_pred_roi, r_depth, update_base=update_base
+            c_list, f_list, coarse_pred_roi, r_depth, update_base=update_base,
+            pe_list=pe_list, pe_patch_list=pe_patch_list,
         )
         if self.strategy_refiner_target == "direct":
             depth = nn.sigmoid(depth) * self.max_depth
@@ -207,7 +236,11 @@ class PRPlusNet(nn.Module):
         """One inference chunk: rois for these boxes only, then refine."""
         idx = jnp.zeros((bboxes.shape[0],), jnp.int32)
         feat_rois, pred_roi = self._roi(coarse_pred, coarse_feats, bboxes, idx)
-        return self.refine(imgs_crop, feat_rois, pred_roi, train=False)
+        pe_list, pe_patch_list = self._pe(coarse_feats, bboxes, idx)
+        return self.refine(
+            imgs_crop, feat_rois, pred_roi, train=False,
+            pe_list=pe_list, pe_patch_list=pe_patch_list,
+        )
 
     def train_forward(self, image_lr, crops_image_hr, bboxs):
         """Training graph up to the depth prediction (losses applied by the
@@ -215,7 +248,11 @@ class PRPlusNet(nn.Module):
         coarse_feats, coarse_pred = self.coarse_forward(image_lr)
         idx = jnp.arange(bboxs.shape[0], dtype=jnp.int32)
         feat_rois, pred_roi = self._roi(coarse_pred, coarse_feats, bboxs, idx)
-        depth = self.refine(crops_image_hr, feat_rois, pred_roi, train=True)
+        pe_list, pe_patch_list = self._pe(coarse_feats, bboxs, idx)
+        depth = self.refine(
+            crops_image_hr, feat_rois, pred_roi, train=True,
+            pe_list=pe_list, pe_patch_list=pe_patch_list,
+        )
         return depth, coarse_pred
 
     def pretrain_forward(self, image_lr, hack_strategy: str, rng=None):
@@ -274,6 +311,18 @@ class PatchRefinerPlus:
             coarse_is_da2 = cfg.coarse_branch.get("type") == "DA2"
         fine = build_model(cfg.refiner.fine_branch)
         fusion = build_model(cfg.refiner.fusion_model)
+        pes = ()
+        if getattr(fusion, "glb_att", False):
+            from patchrefinerv2_tpu.models.blocks.transformers import (
+                PositionEmbeddingRandom,
+            )
+
+            pes = tuple(
+                PositionEmbeddingRandom(
+                    num_pos_feats=fusion.att_dim // 2, pe_type=fusion.pe_type
+                )
+                for _ in range(5)
+            )
         self.e2e_training = cfg.get("e2e_training", False)
         self.net = PRPlusNet(
             coarse=coarse_mod,
@@ -286,6 +335,7 @@ class PatchRefinerPlus:
             fusion_feat_level=self.fusion_feat_level,
             e2e_training=self.e2e_training,
             coarse_is_da2=coarse_is_da2,
+            pes=pes,
         )
 
     # ---------------------------------------------------------- helpers
