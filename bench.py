@@ -72,6 +72,7 @@ def flagship_config(max_depth=80.0):
         gmloss=dict(type="GradMatchLoss"),
         sigweight=1.0,
         pre_norm_bbox=True,
+        infer_dtype=os.environ.get("BENCH_DTYPE", "bfloat16"),
     )
 
 

@@ -242,15 +242,16 @@ class PRPlusNet(nn.Module):
             pe_list=pe_list, pe_patch_list=pe_patch_list,
         )
 
-    def train_forward(self, image_lr, crops_image_hr, bboxs):
+    def train_forward(self, image_lr, crops_image_hr, bboxs, train: bool = True):
         """Training graph up to the depth prediction (losses applied by the
-        orchestrator; patchrefinerplus.py:427-457)."""
+        orchestrator; patchrefinerplus.py:427-457). ``train=False`` runs the
+        same graph with frozen BN stats (e.g. the semi teacher forward)."""
         coarse_feats, coarse_pred = self.coarse_forward(image_lr)
         idx = jnp.arange(bboxs.shape[0], dtype=jnp.int32)
         feat_rois, pred_roi = self._roi(coarse_pred, coarse_feats, bboxs, idx)
         pe_list, pe_patch_list = self._pe(coarse_feats, bboxs, idx)
         depth = self.refine(
-            crops_image_hr, feat_rois, pred_roi, train=True,
+            crops_image_hr, feat_rois, pred_roi, train=train,
             pe_list=pe_list, pe_patch_list=pe_patch_list,
         )
         return depth, coarse_pred
@@ -298,6 +299,9 @@ class PatchRefinerPlus:
         self.sigweight = cfg.get("sigweight", 1.0)
         self.sigloss = build_model(cfg.sigloss)
         self.gmloss = build_model(cfg.get("gmloss", {"type": "GradMatchLoss"}))
+        # inference compute dtype: bfloat16 halves HBM traffic and doubles
+        # MXU throughput; blending stays float32 (config key infer_dtype)
+        self.infer_dtype = jnp.dtype(cfg.get("infer_dtype", "float32"))
 
         coarse_is_da2 = False
         if self.pretrain_stage:
@@ -425,6 +429,7 @@ class PatchRefinerPlus:
             batch["image_lr"],
             batch["crops_image_hr"],
             bboxs,
+            train=bool(mutable),
             method=PRPlusNet.train_forward,
             mutable=mutable,
         )
@@ -461,18 +466,28 @@ class PatchRefinerPlus:
         blur_raw = jnp.asarray(generate_blend_mask((prh, prw), border=0.15) + 1e-3)
 
         def infer_fn(variables, image_lr, image_hr, seed):
+            if self.infer_dtype != jnp.float32:
+                cast = lambda t: jax.tree_util.tree_map(
+                    lambda a: a.astype(self.infer_dtype)
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32
+                    else a,
+                    t,
+                )
+                variables = cast(variables)
+                image_lr = image_lr.astype(self.infer_dtype)
+                image_hr = image_hr.astype(self.infer_dtype)
             if self.resizer_kind == "da":
                 target = _da_round(image_lr.shape[1:3])
                 if tuple(image_lr.shape[1:3]) != target:
                     image_lr = resize(image_lr, target, "bilinear", True)
             coarse_feats, coarse_pred = net.apply(
-                variables, image_lr, method=PRPlusNet.coarse_forward
+                variables, image_lr, method=type(net).coarse_forward
             )
 
             def refine_chunk(imgs, bboxes):
                 d = net.apply(
                     variables, imgs, coarse_pred, coarse_feats, bboxes,
-                    method=PRPlusNet.infer_chunk,
+                    method=type(net).infer_chunk,
                 )
                 return d[..., 0]
 

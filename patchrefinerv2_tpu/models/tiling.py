@@ -139,14 +139,16 @@ def crop_resize_patches(
     from patchrefinerv2_tpu.ops.resize import resize_matrix
 
     prh, prw = patch_raw_shape
-    wh = jnp.asarray(resize_matrix(prh, out_shape[0], "bilinear", True))
-    ww = jnp.asarray(resize_matrix(prw, out_shape[1], "bilinear", True))
+    dtype = image_hr.dtype if image_hr.dtype == jnp.bfloat16 else jnp.float32
+    wh = jnp.asarray(resize_matrix(prh, out_shape[0], "bilinear", True), dtype)
+    ww = jnp.asarray(resize_matrix(prw, out_shape[1], "bilinear", True), dtype)
+    kw = {"preferred_element_type": jnp.float32} if dtype == jnp.bfloat16 else {"precision": "highest"}
 
     def one(start):
         patch = jax.lax.dynamic_slice(
             image_hr, (start[0], start[1], 0), (prh, prw, image_hr.shape[-1])
-        ).astype(jnp.float32)
-        p = jnp.einsum("oh,hwc->owc", wh, patch, precision="highest")
-        return jnp.einsum("pw,owc->opc", ww, p, precision="highest")
+        ).astype(dtype)
+        p = jnp.einsum("oh,hwc->owc", wh, patch, **kw).astype(dtype)
+        return jnp.einsum("pw,owc->opc", ww, p, **kw).astype(dtype)
 
     return jax.vmap(one)(starts)

@@ -29,13 +29,19 @@ _NEG_INF = -1e30
 
 
 def mha_reference(q, k, v, scale: float | None = None):
-    """q, k, v: (B, H, S, D). Exact softmax attention in float32."""
+    """q, k, v: (B, H, S, D). Exact softmax attention; matmuls run in the
+    input dtype (bf16 on TPU MXU) with float32 accumulation, softmax in
+    float32."""
     d = q.shape[-1]
     scale = scale if scale is not None else d**-0.5
-    qf = q.astype(jnp.float32) * scale
-    s = jnp.einsum("bhqd,bhkd->bhqk", qf, k.astype(jnp.float32))
-    p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k,
+        preferred_element_type=jnp.float32,
+    )
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    o = jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
     return o.astype(q.dtype)
 
 

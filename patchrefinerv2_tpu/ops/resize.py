@@ -136,6 +136,15 @@ def resize(
     sh, sw = scale_override if scale_override else (None, None)
     wh = jnp.asarray(resize_matrix(h, out_h, mode, align_corners, sh))
     ww = jnp.asarray(resize_matrix(w, out_w, mode, align_corners, sw))
+    if dtype == jnp.bfloat16:
+        # keep the MXU in bf16 with f32 accumulation
+        y = x
+        wh = wh.astype(jnp.bfloat16)
+        ww = ww.astype(jnp.bfloat16)
+        y = jnp.einsum("oh,nhwc->nowc", wh, y, preferred_element_type=jnp.float32)
+        y = y.astype(jnp.bfloat16)
+        y = jnp.einsum("pw,nowc->nopc", ww, y, preferred_element_type=jnp.float32)
+        return y.astype(dtype)
     y = x.astype(jnp.float32)
     # contract H: (out_h,h) x (n,h,w,c) -> (n,out_h,w,c)
     y = jnp.einsum("oh,nhwc->nowc", wh, y, precision="highest")

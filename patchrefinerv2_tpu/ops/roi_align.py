@@ -55,8 +55,78 @@ def _bilinear_gather(feat: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.n
     return jnp.where(valid[:, None], out, 0.0)
 
 
+def _axis_weights(starts, bins, out_size, in_size, dtype):
+    """Per-roi separable interpolation matrix (P, out, in).
+
+    For sampling_ratio=1 the RoI-Align sample grid is separable:
+    y_i = y1 + (i + 0.5) * bin_h. Each output row is a 2-tap bilinear
+    combination of input rows -> expressed as a dense one-hot-weighted
+    matrix so the whole roi_align becomes two batched matmuls on the MXU
+    instead of millions of gathers (the TPU-native formulation; gathers
+    were the inference bottleneck).
+    """
+    P = starts.shape[0]
+    i = jnp.arange(out_size, dtype=jnp.float32)
+    coords = starts[:, None] + (i[None, :] + 0.5) * bins[:, None]  # (P, out)
+    valid = (coords >= -1.0) & (coords <= in_size)
+    cc = jnp.clip(coords, 0.0, in_size - 1.0)
+    c0 = jnp.floor(cc)
+    frac = cc - c0
+    c0i = c0.astype(jnp.int32)
+    c1i = jnp.minimum(c0i + 1, in_size - 1)
+    lo = jax.nn.one_hot(c0i, in_size, dtype=jnp.float32) * (1.0 - frac)[..., None]
+    hi = jax.nn.one_hot(c1i, in_size, dtype=jnp.float32) * frac[..., None]
+    w = (lo + hi) * valid[..., None].astype(jnp.float32)
+    return w.astype(dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("output_size", "spatial_scale", "sampling_ratio")
+)
+def roi_align_mxu(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    box_indices: jnp.ndarray,
+    output_size: tuple[int, int],
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 1,
+) -> jnp.ndarray:
+    """Separable-matmul RoI-Align (exact for sampling_ratio=1 — every
+    reference call site). Same semantics as :func:`roi_align`."""
+    assert sampling_ratio == 1, "MXU path covers the sampling_ratio=1 case"
+    out_h, out_w = output_size
+    B, H, W, C = features.shape
+    dtype = features.dtype
+    cdt = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    boxes = boxes.astype(jnp.float32)
+    x1 = boxes[:, 0] * spatial_scale - 0.5
+    y1 = boxes[:, 1] * spatial_scale - 0.5
+    x2 = boxes[:, 2] * spatial_scale - 0.5
+    y2 = boxes[:, 3] * spatial_scale - 0.5
+    wh = _axis_weights(y1, (y2 - y1) / out_h, out_h, H, cdt)  # (P, out_h, H)
+    ww = _axis_weights(x1, (x2 - x1) / out_w, out_w, W, cdt)  # (P, out_w, W)
+
+    feats = features.astype(cdt)
+    # f32 inputs demand exact accumulation (TPU default matmul precision is
+    # bf16 passes); bf16 inputs keep the fast path with f32 accumulation
+    kw = (
+        {"preferred_element_type": jnp.float32}
+        if cdt == jnp.bfloat16
+        else {"precision": "highest"}
+    )
+
+    def one(whi, wwi, idx):
+        f = feats[idx]  # (H, W, C)
+        t = jnp.einsum("ih,hwc->iwc", whi, f, **kw)
+        t = t.astype(cdt)
+        return jnp.einsum("jw,iwc->ijc", wwi, t, **kw)
+
+    out = jax.vmap(one)(wh, ww, box_indices.astype(jnp.int32))
+    return out.astype(dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("output_size", "spatial_scale", "sampling_ratio"))
-def roi_align(
+def roi_align_gather(
     features: jnp.ndarray,
     boxes: jnp.ndarray,
     box_indices: jnp.ndarray,
@@ -104,3 +174,22 @@ def roi_align(
 
     out = jax.vmap(one_roi)(boxes, box_indices.astype(jnp.int32))
     return out.astype(feat_dtype)
+
+
+def roi_align(
+    features: jnp.ndarray,
+    boxes: jnp.ndarray,
+    box_indices: jnp.ndarray,
+    output_size: tuple[int, int],
+    spatial_scale: float = 1.0,
+    sampling_ratio: int = 1,
+) -> jnp.ndarray:
+    """Public entry: MXU separable path for sampling_ratio=1 (all reference
+    call sites), gather path otherwise."""
+    if sampling_ratio == 1:
+        return roi_align_mxu(
+            features, boxes, box_indices, output_size, spatial_scale, sampling_ratio
+        )
+    return roi_align_gather(
+        features, boxes, box_indices, output_size, spatial_scale, sampling_ratio
+    )

@@ -3,7 +3,9 @@ for a distributed test story; SURVEY.md section 4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override: the surrounding environment exports JAX_PLATFORMS=axon
+# (real TPU); tests must run on deterministic f32 CPU with a virtual mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -105,3 +105,21 @@ def test_sampling_ratio_2():
     ref = roi_align_np(feats, boxes, idxs, (4, 4), 1.0, sampling_ratio=2)
     got = np.asarray(roi_align(feats, boxes, idxs, (4, 4), 1.0, sampling_ratio=2))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_mxu_path_matches_gather_path():
+    from patchrefinerv2_tpu.ops.roi_align import roi_align_gather, roi_align_mxu
+
+    rng = np.random.RandomState(7)
+    feats = rng.randn(3, 20, 28, 6).astype(np.float32)
+    boxes = []
+    for _ in range(10):
+        x1 = rng.uniform(-5, 400)
+        y1 = rng.uniform(-5, 300)
+        boxes.append([x1, y1, x1 + rng.uniform(10, 300), y1 + rng.uniform(10, 200)])
+    boxes = np.array(boxes, np.float32)
+    idxs = rng.randint(0, 3, size=10).astype(np.int32)
+    scale = 20 / 384.0
+    a = np.asarray(roi_align_gather(feats, boxes, idxs, (20, 28), scale, 1))
+    b = np.asarray(roi_align_mxu(feats, boxes, idxs, (20, 28), scale, 1))
+    np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-5)
