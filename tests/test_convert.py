@@ -79,6 +79,7 @@ def test_layout_converters_against_torch():
     got = jax.lax.conv_general_dilated(
         xf, jnp.asarray(t2f_conv(w)), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision="highest",  # default conv precision is reduced on CPU too
     )
     np.testing.assert_allclose(
         np.transpose(np.asarray(got), (0, 3, 1, 2)), ref, rtol=1e-4, atol=1e-5
@@ -89,16 +90,20 @@ def test_layout_converters_against_torch():
     ref = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(wt), stride=2).numpy()
     import flax.linen as nn
 
-    conv_t = nn.ConvTranspose(6, (2, 2), strides=(2, 2), use_bias=False)
+    conv_t = nn.ConvTranspose(6, (2, 2), strides=(2, 2), use_bias=False, precision="highest")
     vars_ct = {"params": {"kernel": jnp.asarray(t2f_conv_transpose(wt).copy())}}
     got = conv_t.apply(vars_ct, xf)
     np.testing.assert_allclose(
         np.transpose(np.asarray(got), (0, 3, 1, 2)), ref, rtol=1e-4, atol=1e-5
     )
 
-    # linear
+    # linear (explicit precision: this environment sets a reduced default
+    # matmul precision even on CPU)
     wl = rng.randn(5, 7).astype(np.float32)
     xl = rng.randn(3, 7).astype(np.float32)
     ref = (torch.from_numpy(xl) @ torch.from_numpy(wl).T).numpy()
-    got = np.asarray(jnp.asarray(xl) @ jnp.asarray(t2f_linear(wl)))
+    got = np.asarray(
+        jnp.einsum("ij,jk->ik", jnp.asarray(xl), jnp.asarray(t2f_linear(wl)),
+                   precision="highest")
+    )
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
