@@ -78,7 +78,7 @@ def flagship_config(max_depth=80.0):
 
 def main():
     cai_mode = os.environ.get("BENCH_CAI_MODE", "r32")
-    process_num = int(os.environ.get("BENCH_PROCESS_NUM", "4"))
+    process_num = int(os.environ.get("BENCH_PROCESS_NUM", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
 

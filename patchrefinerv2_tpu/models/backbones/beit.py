@@ -30,6 +30,51 @@ from patchrefinerv2_tpu.models.blocks.dpt import FeatureFusionBlock
 from patchrefinerv2_tpu.ops.resize import resize
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _axis_onehot(g: int) -> np.ndarray:
+    """(g, g, 2g-1) constant: O[i, j, a] = 1 iff i - j + g - 1 == a."""
+    i = np.arange(g)
+    diff = i[:, None] - i[None, :] + g - 1
+    out = np.zeros((g, g, 2 * g - 1), np.float32)
+    out[np.arange(g)[:, None], np.arange(g)[None, :], diff] = 1.0
+    return out
+
+
+def relative_position_bias(table: jnp.ndarray, gh: int, gw: int) -> jnp.ndarray:
+    """Materialize the (S+1, S+1, nH) BEiT bias from the (num_rel, nH) table.
+
+    TPU-native: the timm formulation gathers (S+1)^2 rows, which is the
+    single most expensive op in the BEiT forward on TPU (~40% of the trunk).
+    The patch-patch part is a 2D Toeplitz in (dy, dx), so it factors into two
+    small one-hot einsums on the MXU (exact, ~25x faster); the 3 cls entries
+    are written separately.
+    """
+    nh = table.shape[-1]
+    n_patch_rel = (2 * gh - 1) * (2 * gw - 1)
+    t2 = table[:n_patch_rel].reshape(2 * gh - 1, 2 * gw - 1, nh)
+    oy = jnp.asarray(_axis_onehot(gh), table.dtype)
+    ox = jnp.asarray(_axis_onehot(gw), table.dtype)
+    # one-hot selection must be exact: full precision for f32 tables (this
+    # environment reduces the default matmul precision), native for bf16
+    kw = {} if table.dtype == jnp.bfloat16 else {"precision": "highest"}
+    m = jnp.einsum("ika,abh->ikbh", oy, t2, preferred_element_type=jnp.float32, **kw)
+    patch = jnp.einsum(
+        "jlb,ikbh->ijklh", ox, m.astype(table.dtype),
+        preferred_element_type=jnp.float32, **kw,
+    )  # (gh, gw, gh, gw, nh)
+    s = gh * gw
+    patch = patch.reshape(s, s, nh)
+    full = jnp.full((s + 1, s + 1, nh), 0.0, patch.dtype)
+    full = full.at[1:, 1:].set(patch)
+    full = full.at[0, :, :].set(table[n_patch_rel].astype(patch.dtype))
+    full = full.at[:, 0, :].set(table[n_patch_rel + 1].astype(patch.dtype))
+    full = full.at[0, 0, :].set(table[n_patch_rel + 2].astype(patch.dtype))
+    return full
+
+
 def _relative_position_index(h: int, w: int) -> np.ndarray:
     """timm BEiT relative_position_index for an h*w window + cls token."""
     coords = np.stack(np.meshgrid(np.arange(h), np.arange(w), indexing="ij"))
@@ -52,6 +97,7 @@ class BeitAttention(nn.Module):
     dim: int
     num_heads: int
     grid: tuple[int, int]
+    use_rel_bias: bool = True  # debug/profiling switch
 
     @nn.compact
     def __call__(self, x):
@@ -73,15 +119,22 @@ class BeitAttention(nn.Module):
             nn.initializers.zeros,
             (num_rel, self.num_heads),
         )
-        idx = jnp.asarray(_relative_position_index(gh, gw))
-        rel_bias = table[idx.reshape(-1)].reshape(s, s, self.num_heads)
-        rel_bias = jnp.transpose(rel_bias, (2, 0, 1))  # (H, S, S)
-
         scale = hd**-0.5
-        att = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale, k.astype(jnp.float32))
-        att = att + rel_bias[None]
-        att = nn.softmax(att, axis=-1)
-        o = jnp.einsum("bhqk,bhkd->bhqd", att, v.astype(jnp.float32)).astype(x.dtype)
+        # matmuls stay in the input dtype (bf16 on TPU) with f32 accumulation;
+        # softmax in f32
+        att = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_rel_bias:
+            rel_bias = relative_position_bias(table, gh, gw)  # (S, S, H)
+            rel_bias = jnp.transpose(rel_bias, (2, 0, 1))  # (H, S, S)
+            att = att + rel_bias[None].astype(att.dtype)
+        att = nn.softmax(att.astype(jnp.float32), axis=-1)
+        o = jnp.einsum(
+            "bhqk,bhkd->bhqd", att.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
         o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
         return nn.Dense(self.dim, name="proj")(o)
 
@@ -92,13 +145,14 @@ class BeitBlock(nn.Module):
     grid: tuple[int, int]
     mlp_ratio: float = 4.0
     init_values: float = 1e-5
+    use_rel_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
         g1 = self.param("gamma_1", nn.initializers.constant(self.init_values), (self.dim,))
         g2 = self.param("gamma_2", nn.initializers.constant(self.init_values), (self.dim,))
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        h = BeitAttention(self.dim, self.num_heads, self.grid, name="attn")(h)
+        h = BeitAttention(self.dim, self.num_heads, self.grid, self.use_rel_bias, name="attn")(h)
         x = x + g1 * h
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="fc1")(h)
@@ -115,6 +169,7 @@ class BeitLarge(nn.Module):
     num_heads: int = 16
     patch_size: int = 16
     taps: tuple[int, ...] = (5, 11, 17, 23)
+    use_rel_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -132,7 +187,7 @@ class BeitLarge(nn.Module):
 
         outs = {}
         for i in range(self.depth):
-            tok = BeitBlock(self.embed_dim, self.num_heads, (gh, gw), name=f"block{i}")(tok)
+            tok = BeitBlock(self.embed_dim, self.num_heads, (gh, gw), use_rel_bias=self.use_rel_bias, name=f"block{i}")(tok)
             if i in self.taps:
                 outs[i] = tok
         return [outs[i] for i in self.taps], (gh, gw)
@@ -146,12 +201,13 @@ class MidasDPTBEiT(nn.Module):
 
     features: int = 256
     out_channels: tuple[int, ...] = (256, 512, 1024, 1024)
+    use_rel_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
         # PrepForMidas normalization (midas.py:177-188); resize is external
         x = (x - 0.5) / 0.5
-        taps, (gh, gw) = BeitLarge(name="pretrained")(x)
+        taps, (gh, gw) = BeitLarge(use_rel_bias=self.use_rel_bias, name="pretrained")(x)
 
         levels = []
         for i, tok in enumerate(taps):

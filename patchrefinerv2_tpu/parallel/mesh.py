@@ -31,9 +31,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch dict with leading batch axis onto the mesh."""
+    """Place a host batch dict with leading batch axis onto the mesh.
+    Non-numeric entries (filenames etc.) are dropped — the reference's
+    collect_input_args filter (trainer.py:128-134)."""
     sh = batch_sharding(mesh)
-    return {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        if arr.dtype.kind in ("f", "i", "u", "b"):
+            out[k] = jax.device_put(jnp.asarray(arr), sh)
+    return out
 
 
 def replicate_tree(tree, mesh: Mesh):

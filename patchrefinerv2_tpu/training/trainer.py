@@ -31,6 +31,7 @@ from patchrefinerv2_tpu.parallel.mesh import (
 from patchrefinerv2_tpu.training.optim import build_optimizer
 from patchrefinerv2_tpu.utils.checkpoint import save_checkpoint
 from patchrefinerv2_tpu.utils.logging import print_log
+from patchrefinerv2_tpu.utils.metrics_logger import MetricsLogger
 
 
 class TrainState:
@@ -105,6 +106,9 @@ class Trainer:
         )
         self._train_step = self._build_train_step()
         self._rng = jax.random.PRNGKey(int(config.get("seed", 0)) + 1)
+        self.metrics = MetricsLogger(
+            work_dir, project=config.get("project", ""), debug=bool(config.get("debug", False))
+        )
 
     def _build_train_step(self):
         model, tx = self.model, self.tx
@@ -133,7 +137,10 @@ class Trainer:
 
     def train_epoch(self, epoch: int):
         t0 = time.time()
+        collect = self.config.get("collect_input_args")
         for i, batch in enumerate(self.train_loader):
+            if collect:
+                batch = {k: v for k, v in batch.items() if k in collect}
             batch = shard_batch(batch, self.mesh)
             self._rng, sub = jax.random.split(self._rng)
             params, bs, opt_state, loss_dict = self._train_step(
@@ -152,6 +159,8 @@ class Trainer:
                     f"lr {lr:.2e} img/s {ips:.1f} "
                     + " ".join(f"{k}={v:.4f}" for k, v in losses.items())
                 )
+                if jax.process_index() == 0:
+                    self.metrics.log({"lr": lr, "imgs_per_sec": ips, **losses}, self.state.step)
             if self.val_type == "iter_base" and self.val_loader is not None:
                 if self.state.step % self.val_interval == 0:
                     self.val_epoch()
@@ -174,6 +183,8 @@ class Trainer:
             if np.isscalar(metrics[0][k]) or np.ndim(metrics[0][k]) == 0
         }
         print_log("val: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+        if jax.process_index() == 0:
+            self.metrics.log({f"Val/{k}": v for k, v in agg.items()}, self.state.step)
         return agg
 
     def save(self, epoch: int):
