@@ -63,10 +63,14 @@ class UnrealStereo4kDataset(DepthDataset):
         self.consistency = consistency
         self.overlap = overlap
         if consistency:
-            h, w = self.image_raw_shape
-            ph, pw = self.patch_raw_shape
-            self.h_start_list = [0, ph - overlap, h - 2 * ph + 2 * overlap, h - ph]
-            self.w_start_list = [0, pw - overlap, w - 2 * pw + 2 * overlap, w - pw]
+            # fixed 4x4 overlapping grid (u4k_dataset.py:62-65)
+            ov = overlap
+            self.h_start_list = [
+                int(0 + 3 * ov / 2), int(540 + ov / 2), int(1080 - ov / 2), int(1620 - 3 * ov / 2)
+            ]
+            self.w_start_list = [
+                int(0 + 3 * ov / 2), int(960 + ov / 2), int(1920 - ov / 2), int(2880 - 3 * ov / 2)
+            ]
         self.data_infos = self._load_split(split)
 
     def _load_split(self, split: str) -> list[dict]:
@@ -127,6 +131,28 @@ class UnrealStereo4kDataset(DepthDataset):
 
         image_lr = resize_hwc(image, self.network_process_size)
         name = osp.splitext(info["filename"])[0].replace("/", "_").lstrip("_")
+
+        if self.mode == "train" and self.consistency:
+            # 16 fixed overlapping crops per image (u4k_dataset.py:158-184)
+            ph, pw = self.patch_raw_shape
+            crops, depths, bboxs = [], [], []
+            for hs in self.h_start_list:
+                for ws in self.w_start_list:
+                    crop = image[hs : hs + ph, ws : ws + pw]
+                    crops.append(resize_hwc(crop, self.network_process_size))
+                    depths.append(depth_gt[hs : hs + ph, ws : ws + pw, None])
+                    if self.pre_norm_bbox:
+                        bboxs.append(self._norm_bbox(ws, hs, ws + pw, hs + ph))
+                    else:
+                        bboxs.append(np.asarray([ws, hs, ws + pw, hs + ph], np.float32))
+            return {
+                "image_lr": image_lr,
+                "crops_image_hr": np.stack(crops).astype(np.float32),
+                "depth_gt": depth_gt[..., None].astype(np.float32),
+                "crop_depths": np.stack(depths).astype(np.float32),
+                "bboxs": np.stack(bboxs),
+                "img_file_basename": name,
+            }
 
         if self.mode == "train":
             ph, pw = self.patch_raw_shape

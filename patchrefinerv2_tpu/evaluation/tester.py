@@ -138,6 +138,67 @@ class Tester:
         print_log(f"benchmark {cai_mode}: {fps:.3f} fps (var {var:.4f})")
         return {"fps": fps, "fps_variance": var}
 
+    def model_complexity(
+        self,
+        variables,
+        image_lr_shape=(1, 384, 512, 3),
+        image_hr_shape=(1, 2160, 3840, 3),
+        cai_mode="m1",
+        process_num=4,
+    ):
+        """FLOPs / params via XLA cost analysis on the compiled tiled-
+        inference program (replaces mmengine.analysis
+        get_model_complexity_info, tester.py:384-398)."""
+        import jax.numpy as jnp
+
+        tc = self.model.tile_cfg
+        fn = self.model._jitted_infer(
+            cai_mode, (tc.image_raw_shape, tc.patch_split_num), process_num
+        )
+        lowered = fn.lower(
+            variables,
+            jnp.zeros(image_lr_shape, jnp.float32),
+            jnp.zeros(image_hr_shape, jnp.float32),
+            jax.random.PRNGKey(0),
+        )
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        n_params = sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(variables["params"])
+        )
+        flops = float(cost.get("flops", float("nan")))
+        bytes_accessed = float(cost.get("bytes accessed", float("nan")))
+        print_log(
+            f"complexity[{cai_mode}]: {flops/1e9:.1f} GFLOPs/frame, "
+            f"{bytes_accessed/1e9:.2f} GB accessed, {n_params/1e6:.1f} M params"
+        )
+        return {"flops": flops, "bytes_accessed": bytes_accessed, "params": n_params}
+
+    def vis_feat(self, variables, batch, out_dir=None, max_maps=32):
+        """Dump coarse-branch feature heatmaps (tester.py:407-455; hooks are
+        replaced by flax capture_intermediates on the explicit graph)."""
+        import jax.numpy as jnp
+
+        from patchrefinerv2_tpu.utils.color import save_colored
+
+        out_dir = out_dir or os.path.join(self.work_dir, "featvis")
+        os.makedirs(out_dir, exist_ok=True)
+        net = self.model.net
+        feats, pred = net.apply(
+            variables, jnp.asarray(batch["image_lr"]), method=type(net).coarse_forward
+        )
+        count = 0
+        for li, f in enumerate(feats):
+            fmean = np.asarray(f).mean(axis=-1)[0]  # channel-mean heatmap
+            save_colored(fmean, os.path.join(out_dir, f"coarse_lvl{li}_mean.png"), cmap="magma")
+            count += 1
+            if count >= max_maps:
+                break
+        save_colored(np.asarray(pred)[0, :, :, 0], os.path.join(out_dir, "coarse_pred.png"))
+        print_log(f"feature maps written to {out_dir}")
+        return out_dir
+
     def run_consistency(
         self,
         variables,
