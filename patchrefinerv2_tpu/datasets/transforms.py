@@ -60,7 +60,14 @@ def random_crop(image: np.ndarray, depths: list[np.ndarray], crop_size):
 
 
 def resize_hwc(image: np.ndarray, size, mode="bilinear", align_corners=True):
-    """Torch-exact resize on host via the shared interpolation matrices."""
+    """Torch-exact resize on host: native C++ fast path (bilinear ac=True,
+    ~1000x the numpy fallback), shared interpolation matrices otherwise."""
+    if mode == "bilinear" and align_corners and image.ndim == 3:
+        from patchrefinerv2_tpu.datasets import native
+
+        out = native.resize_bilinear_ac(np.ascontiguousarray(image, np.float32), tuple(size))
+        if out is not None:
+            return out
     from patchrefinerv2_tpu.ops.resize import resize_matrix
 
     wh = resize_matrix(image.shape[0], size[0], mode, align_corners)

@@ -122,8 +122,16 @@ class UnrealStereo4kDataset(DepthDataset):
 
         if self.mode == "train":
             image, (depth_gt, disp_gt) = aug_rotate(image, [depth_gt, disp_gt], self.degree)
+            image = image.astype(np.float32)[:, :, ::-1] / 255.0  # BGR -> RGB
+        else:
+            # eval path has no PIL round-trip: native BGR->RGB + /255
+            from patchrefinerv2_tpu.datasets import native
 
-        image = image.astype(np.float32)[:, :, ::-1] / 255.0  # BGR -> RGB
+            fast = native.load_raw_bgr_as_rgb_f32(info["img_path"])
+            if fast is not None and self.degree is not None:
+                image = fast
+            else:
+                image = image.astype(np.float32)[:, :, ::-1] / 255.0
 
         if self.mode == "train":
             image = aug_color(image)

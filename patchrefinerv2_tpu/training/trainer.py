@@ -104,6 +104,10 @@ class Trainer:
             replicate_tree(batch_stats, self.mesh) if batch_stats is not None else None,
             replicate_tree(opt_state, self.mesh),
         )
+        self.start_epoch = 1
+        resume = config.get("resume_from")
+        if resume:
+            self._resume(resume)
         self._train_step = self._build_train_step()
         self._rng = jax.random.PRNGKey(int(config.get("seed", 0)) + 1)
         self.metrics = MetricsLogger(
@@ -203,8 +207,27 @@ class Trainer:
         )
         print_log(f"saved checkpoint to {path}")
 
+    def _resume(self, path: str):
+        """Full-state resume (params + optimizer + step) — the reference
+        saves this state but never reloads it (trainer.py:276-294);
+        restoring it is a deliberate improvement."""
+        from patchrefinerv2_tpu.utils.checkpoint import load_checkpoint
+
+        ckpt = load_checkpoint(path)
+        self.state.params = replicate_tree(ckpt["params"], self.mesh)
+        if ckpt.get("batch_stats"):
+            self.state.batch_stats = replicate_tree(ckpt["batch_stats"], self.mesh)
+        if ckpt.get("opt_state") is not None:
+            restored = jax.tree_util.tree_map(
+                lambda tpl, arr: arr, self.state.opt_state, ckpt["opt_state"]
+            )
+            self.state.opt_state = replicate_tree(restored, self.mesh)
+        self.state.step = int(ckpt.get("step", 0))
+        self.start_epoch = int(ckpt.get("epoch", 0)) + 1
+        print_log(f"resumed from {path} at epoch {self.start_epoch} step {self.state.step}")
+
     def run(self):
-        for epoch in range(1, self.max_epochs + 1):
+        for epoch in range(self.start_epoch, self.max_epochs + 1):
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
             self.train_epoch(epoch)

@@ -31,6 +31,7 @@ def main():
     parser.add_argument("--tag", default="")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--seed", type=int, default=621)
+    parser.add_argument("--resume-from", default=None)
     parser.add_argument(
         "--cfg-option", nargs="+", default=None, help="dotted key=value overrides"
     )
@@ -40,6 +41,8 @@ def main():
     cfg.merge_from_options(args.cfg_option)
     cfg["seed"] = args.seed
     cfg["debug"] = args.debug
+    if args.resume_from:
+        cfg["resume_from"] = args.resume_from
     fix_random_seed(args.seed)
     log_env(cfg)
 
