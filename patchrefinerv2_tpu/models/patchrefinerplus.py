@@ -467,13 +467,6 @@ class PatchRefinerPlus:
 
         def infer_fn(variables, image_lr, image_hr, seed):
             if self.infer_dtype != jnp.float32:
-                cast = lambda t: jax.tree_util.tree_map(
-                    lambda a: a.astype(self.infer_dtype)
-                    if hasattr(a, "dtype") and a.dtype == jnp.float32
-                    else a,
-                    t,
-                )
-                variables = cast(variables)
                 image_lr = image_lr.astype(self.infer_dtype)
                 image_hr = image_hr.astype(self.infer_dtype)
             if self.resizer_kind == "da":
@@ -577,4 +570,23 @@ class PatchRefinerPlus:
         )
         if seed is None:
             seed = jax.random.PRNGKey(0)
+        variables = self._infer_variables(variables)
         return fn(variables, image_lr, image_hr, seed)
+
+    def _infer_variables(self, variables):
+        """Cast parameters to the inference dtype ONCE outside the jit (an
+        in-graph cast keeps f32 weight copies alive in the executable and
+        doubles the parameter HBM traffic). Cached per variables identity."""
+        if self.infer_dtype == jnp.float32:
+            return variables
+        cache = getattr(self, "_cast_cache", None)
+        if cache is not None and cache[0] is variables:
+            return cache[1]
+        cast = jax.tree_util.tree_map(
+            lambda a: a.astype(self.infer_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else a,
+            variables,
+        )
+        self._cast_cache = (variables, cast)
+        return cast
