@@ -359,6 +359,10 @@ class ZoeDepthHead(nn.Module):
         )(last_cat, b_embedding_up)
         b_centers_up = _interp(b_centers, probs.shape[1:3])
         depth = jnp.sum(probs * b_centers_up, axis=-1, keepdims=True)
+        # bin math runs in f32 for stability; the OUTPUT must match the
+        # compute dtype or it silently promotes every downstream consumer
+        # (fusion/decoder) to f32
+        depth = depth.astype(last.dtype)
 
         coarse_features = [
             temp["x_d0"],

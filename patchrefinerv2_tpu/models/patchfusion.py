@@ -102,7 +102,8 @@ class PFBinsHead(nn.Module):
             name="conditional_log_binomial",
         )(last_cat, b_emb_up)
         b_centers_up = _interp(b_centers, probs.shape[1:3])
-        return jnp.sum(probs * b_centers_up, axis=-1, keepdims=True)
+        depth = jnp.sum(probs * b_centers_up, axis=-1, keepdims=True)
+        return depth.astype(last.dtype)  # keep the compute dtype downstream
 
 
 class PFNet(nn.Module):

@@ -214,6 +214,11 @@ class PRPlusNet(nn.Module):
     ):
         """Refiner + fusion on a batch of patches (infer_forward,
         patchrefinerplus.py:330-365)."""
+        # keep one compute dtype through the patch pipeline — a single f32
+        # input promotes every concat/conv downstream to f32
+        cdt = imgs_crop.dtype
+        coarse_pred_roi = coarse_pred_roi.astype(cdt)
+        coarse_feat_rois = [f.astype(cdt) for f in coarse_feat_rois]
         r_feats, r_depth = self.fine(imgs_crop, coarse_pred_roi, train=train)
         if self.strategy_refiner_target == "offset_fine":
             update_base = r_depth
