@@ -138,6 +138,22 @@ class Tester:
         print_log(f"benchmark {cai_mode}: {fps:.3f} fps (var {var:.4f})")
         return {"fps": fps, "fps_variance": var}
 
+    def show_gts(self, out_dir=None):
+        """Colorized ground-truth dumps (tester.py:183-209)."""
+        out_dir = out_dir or os.path.join(self.work_dir, "gts")
+        os.makedirs(out_dir, exist_ok=True)
+        for i, batch in enumerate(self.dataloader):
+            if "depth_gt" not in batch:
+                continue
+            name = batch.get("img_file_basename", [f"img_{i:05d}"])[0]
+            save_colored(
+                np.asarray(batch["depth_gt"]).squeeze(),
+                os.path.join(out_dir, f"{name}_gt.png"),
+                self.cmap,
+            )
+        print_log(f"gt visualizations written to {out_dir}")
+        return out_dir
+
     def model_complexity(
         self,
         variables,

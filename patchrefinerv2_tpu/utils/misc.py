@@ -30,3 +30,23 @@ def log_env(cfg=None):
     print_log(f"process {jax.process_index()}/{jax.process_count()}")
     if cfg is not None:
         print_log(f"config: {getattr(cfg, '_filename_', '<dict>')}")
+
+
+def rescale_tensor(x, low: float = 0.0, high: float = 1.0):
+    """Min-max rescale into [low, high] (misc.py:98-121)."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    span = x.max() - x.min()
+    if span <= 0:
+        return np.full_like(x, low)
+    return (x - x.min()) / span * (high - low) + low
+
+
+def rescale_tensor_train(x, low: float = 0.0, high: float = 1.0):
+    """jnp variant usable inside jitted losses."""
+    import jax.numpy as jnp
+
+    span = jnp.max(x) - jnp.min(x)
+    scaled = (x - jnp.min(x)) / jnp.maximum(span, 1e-12) * (high - low) + low
+    return jnp.where(span > 0, scaled, jnp.full_like(x, low))
