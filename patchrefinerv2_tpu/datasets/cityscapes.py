@@ -215,3 +215,43 @@ class CityScapesDataset(DepthDataset):
             "boundary": boundary.astype(np.float32),
             "img_file_basename": name,
         }
+
+    def get_metrics(self, depth_gt, result, disp_gt_edges=None, seg_image=None, **kwargs):
+        """Base metrics + seg-edge boundary quality when a gtFine color map
+        is available (cityscapes_dataset.py:318-444)."""
+        from patchrefinerv2_tpu.evaluation.metrics import (
+            compute_boundary_metrics,
+            compute_metrics,
+            extract_edges,
+        )
+
+        base = compute_metrics(
+            depth_gt, result, disp_gt_edges=disp_gt_edges,
+            min_depth_eval=self.min_depth, max_depth_eval=self.max_depth,
+            garg_crop=False, eigen_crop=False, dataset=self.dataset_name,
+        )
+        if seg_image is not None and base:
+            seg = np.asarray(seg_image).squeeze()
+            if seg.ndim == 3:
+                lab = (
+                    seg[..., 0].astype(np.int64) * 65536
+                    + seg[..., 1].astype(np.int64) * 256
+                    + seg[..., 2].astype(np.int64)
+                )
+            else:
+                lab = seg.astype(np.int64)
+            gt_edges = np.zeros(lab.shape, bool)
+            gt_edges[1:, :] |= lab[1:, :] != lab[:-1, :]
+            gt_edges[:, 1:] |= lab[:, 1:] != lab[:, :-1]
+            gt = np.asarray(depth_gt, np.float64).squeeze()
+            valid = np.logical_and(gt > self.min_depth, gt < self.max_depth)
+            pred = np.asarray(result, np.float64).squeeze()
+            if pred.shape != gt.shape:
+                from patchrefinerv2_tpu.datasets.transforms import resize_hwc
+
+                pred = resize_hwc(pred[..., None].astype(np.float32), gt.shape)[..., 0]
+            pred_edges = extract_edges(pred, use_canny=True, preprocess="log")
+            base.update(
+                compute_boundary_metrics(gt, pred, gt_edges, valid, pred_edges)
+            )
+        return base

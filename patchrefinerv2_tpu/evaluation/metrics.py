@@ -156,3 +156,57 @@ def compute_metrics(
             see = float(see_map[mask].mean())
         metrics["see"] = see
     return metrics
+
+
+def _gaussian_extend(edges: np.ndarray, ksize=5, sigma=5.0) -> np.ndarray:
+    """Dilate an edge mask with a gaussian blur > 0 (metric.py:252-265)."""
+    from patchrefinerv2_tpu.ops.masks import _gaussian_blur
+
+    blurred = _gaussian_blur(edges.astype(np.float64), ksize, sigma)
+    return blurred > 0
+
+
+def compute_boundary_metrics(
+    gt,
+    pred,
+    gt_edges,
+    valid_mask,
+    pred_edges,
+    th_edges_acc=10,
+    th_edges_comp=10,
+) -> dict:
+    """EdgeAcc/EdgeComp via distance transforms + P/R/F1 on gaussian-extended
+    edge masks (metric.py:210-272; torchmetrics binary P/R/F1 replaced with
+    the closed-form counts)."""
+    from scipy import ndimage
+
+    valid_mask = np.asarray(valid_mask, bool)
+    gt_edges = np.asarray(gt_edges, bool)
+    pred_edges = np.asarray(pred_edges, bool)
+    gt_edges_orig = gt_edges.copy()
+    pred_edges_orig = pred_edges.copy()
+    invalid = ~valid_mask
+
+    D_target = ndimage.distance_transform_edt(~gt_edges)
+    D_pred = ndimage.distance_transform_edt(~pred_edges)
+    gt_edges = gt_edges.copy()
+    pred_edges = pred_edges.copy()
+    gt_edges[invalid] = 0
+    pred_edges[invalid] = 0
+
+    pred_close = pred_edges & (D_target < th_edges_acc)
+    metrics = {
+        "EdgeAcc": float(D_target[pred_close].mean()) if pred_close.sum() else float(th_edges_acc),
+        "EdgeComp": float(D_pred[gt_edges].mean()) if pred_close.sum() else float(th_edges_comp),
+    }
+
+    gt_ext = _gaussian_extend(gt_edges_orig)[valid_mask].reshape(-1)
+    pred_ext = _gaussian_extend(pred_edges_orig)[valid_mask].reshape(-1)
+    tp = float(np.logical_and(pred_ext, gt_ext).sum())
+    fp = float(np.logical_and(pred_ext, ~gt_ext).sum())
+    fn = float(np.logical_and(~pred_ext, gt_ext).sum())
+    precision = tp / (tp + fp) if tp + fp > 0 else 0.0
+    recall = tp / (tp + fn) if tp + fn > 0 else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall > 0 else 0.0
+    metrics.update({"precision": precision, "recall": recall, "f1": f1})
+    return metrics

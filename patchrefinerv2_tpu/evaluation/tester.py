@@ -77,6 +77,7 @@ class Tester:
                     np.asarray(batch["depth_gt"]),
                     depth,
                     disp_gt_edges=batch.get("boundary"),
+                    seg_image=batch.get("seg_image"),
                 )
                 if m:
                     results.append(m)

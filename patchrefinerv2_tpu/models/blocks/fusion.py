@@ -193,3 +193,136 @@ class BiDirectionalFusion(nn.Module):
         if update_base is not None:
             return jnp.maximum(update_base + offset, 0.0)
         return offset
+
+
+class SingleConvCNNLNHeavy(nn.Module):
+    """conv-LN-conv-LN-conv-GELU (bi_directional_fusion_model.py:449-463)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from patchrefinerv2_tpu.models.blocks.convs import gelu
+
+        x = nn.Conv(self.features, (3, 3), use_bias=False)(x)
+        x = nn.LayerNorm(epsilon=1e-6)(x)
+        x = nn.Conv(self.features, (3, 3), use_bias=False)(x)
+        x = nn.LayerNorm(epsilon=1e-6)(x)
+        x = nn.Conv(self.features, (3, 3), use_bias=False)(x)
+        return gelu(x)
+
+
+class DoubleConvHeavy(nn.Module):
+    """(conv3x3 no-bias -> GELU) x5 (bi_directional_fusion_model.py:465-485)."""
+
+    features: int
+    mid_features: int | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        from patchrefinerv2_tpu.models.blocks.convs import gelu
+
+        mid = self.mid_features or self.features
+        for _ in range(4):
+            x = gelu(nn.Conv(mid, (3, 3), use_bias=False)(x))
+        return gelu(nn.Conv(self.features, (3, 3), use_bias=False)(x))
+
+
+class UpSampleHeavy(nn.Module):
+    """Upscale-concat-DoubleConvHeavy (bi_directional_fusion_model.py:488-516)."""
+
+    out_ch: int
+    mid_ch: int
+
+    @nn.compact
+    def __call__(self, x1, x2, pred1, pred2):
+        size = x2.shape[1:3]
+        x1 = _interp(x1, size)
+        pred1 = _interp(pred1, size)
+        pred2 = _interp(pred2, size)
+        x = jnp.concatenate([x1, x2, pred1, pred2], axis=-1)
+        return DoubleConvHeavy(self.out_ch, self.mid_ch)(x)
+
+
+@MODELS.register_module()
+class BiDirectionalFusionHeavy(BiDirectionalFusion):
+    """Heavy-conv variant (bi_directional_fusion_model.py:518-675): same
+    dataflow as BiDirectionalFusion with heavier per-level encoders and a
+    heavier decoder."""
+
+    @nn.compact
+    def __call__(
+        self,
+        c_feat,
+        f_feat,
+        pred1,
+        pred2,
+        update_base=None,
+        pe_list=None,
+        pe_patch_list=None,
+    ):
+        c_feat = list(c_feat)
+        f_feat = list(f_feat)
+        c_feat = [
+            _interp(c, f.shape[1:3]) if c.shape[1:3] != f.shape[1:3] else c
+            for c, f in zip(c_feat, f_feat)
+        ]
+
+        if self.glb_att:
+            from patchrefinerv2_tpu.models.blocks.transformers import TwoWayTransformer
+
+            for idx, i in enumerate(self.select_feat_index):
+                sel_c = SingleConvCNNLN(self.att_dim, kernel_size=1, name=f"feat_proj_coarse_{idx}")(c_feat[i])
+                sel_f = SingleConvCNNLN(self.att_dim, kernel_size=1, name=f"feat_proj_fine_{idx}")(f_feat[i])
+                pe = pe_list[::-1][i]
+                pe_patch = pe_patch_list[::-1][i]
+                fine_update, _ = TwoWayTransformer(
+                    depth=2, embedding_dim=self.att_dim, num_heads=8, mlp_dim=1024,
+                    attention_downsample_rate=2, name=f"att_block_{idx}",
+                )(sel_f, pe_patch, sel_c, pe)
+                f_feat[i] = jnp.concatenate([f_feat[i], fine_update], axis=-1)
+
+        if self.coarse2fine:
+            fine5 = f_feat[1:]
+            gate = self.coarse2fine_type == "coarse-gated"
+            fusion = self.coarse2fine_type in ("coarse-gated", "coarse-fusion", "only-gate")
+            if self.coarse2fine_type == "only-gate":
+                c2f_feats, out_depth = C2FNOENCModule(
+                    features=self.c2f_features, gate=False, fusion=True, name="c2f"
+                )(fine5, c_feat)
+            else:
+                c2f_feats, out_depth = C2FModule(
+                    features=self.c2f_features,
+                    head2_features=self.coarse_chl[0],
+                    gate=gate,
+                    fusion=fusion,
+                    name="c2f",
+                )(fine5, c_feat)
+            f_feat = c2f_feats[::-1]
+            pred2 = out_depth
+
+        temp_feats = []
+        for idx, (c, f) in enumerate(zip(c_feat, f_feat)):
+            h = SingleConvCNNLNHeavy(self.temp_chl[idx], name=f"fusion1_{idx}")(
+                jnp.concatenate([c, f], axis=-1)
+            )
+            p1 = _interp(pred1, h.shape[1:3])
+            p2 = _interp(pred2, h.shape[1:3])
+            h = SingleConvCNNLNHeavy(self.temp_chl[idx], name=f"fusion2_{idx}")(
+                jnp.concatenate([h, p1, p2], axis=-1)
+            )
+            temp_feats.append(h)
+
+        rev = temp_feats[::-1]
+        cur = rev[0]
+        mids = list(self.temp_chl)[::-1]
+        in_mid = mids[0]
+        for idx, (feat, dec_c) in enumerate(zip(rev[1:], self.dec_chl)):
+            mid = mids[idx + 1] + in_mid + 2
+            cur = UpSampleHeavy(dec_c, mid, name=f"f2r_agg_{idx}")(cur, feat, pred1, pred2)
+            in_mid = dec_c
+
+        offset = nn.Conv(1, (3, 3), use_bias=False, name="final_conv")(cur)
+        if update_base is not None:
+            return jnp.maximum(update_base + offset, 0.0)
+        return offset
