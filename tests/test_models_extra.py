@@ -157,3 +157,32 @@ def test_ranking_and_extra_losses():
     dice, focal, gt_mask = jax.jit(lambda p, t, c: el(p, t, c, 1e-3, 80))(probs, tgt, pred)
     assert np.isfinite(float(dice)) and np.isfinite(float(focal))
     assert gt_mask.shape == (2, 32, 48)
+
+
+def test_glb_att_and_heavy_fusion():
+    """Exercise the TwoWayTransformer glb_att path and the Heavy variant."""
+    cfg = tiny_config()
+    cfg["refiner"]["fusion_model"]["glb_att"] = True
+    cfg["refiner"]["fusion_model"]["att_dim"] = 32
+    cfg["refiner"]["fusion_model"]["select_feat_index"] = [-1]
+    cfg["refiner"]["fusion_model"]["pe_type"] = ""
+    model = MODELS.build(dict(type="PatchRefinerPlus", config=cfg))
+    variables = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    batch = {
+        "image_lr": jnp.asarray(rng.rand(1, 84, 112, 3), jnp.float32),
+        "crops_image_hr": jnp.asarray(rng.rand(1, 84, 112, 3), jnp.float32),
+        "crop_depths": jnp.asarray(1 + 10 * rng.rand(1, 84, 112, 1), jnp.float32),
+        "bboxs": jnp.asarray([[0.0, 0.0, 56.0, 42.0]], jnp.float32),
+    }
+    loss_dict, _ = model.loss_jit(variables, batch, mutable=True)
+    assert np.isfinite(float(loss_dict["total_loss"]))
+
+    cfg2 = tiny_config()
+    cfg2["refiner"]["fusion_model"]["type"] = "BiDirectionalFusionHeavy"
+    cfg2["refiner"]["fusion_model"]["temp_chl"] = [8, 8, 8, 16, 16, 32]
+    cfg2["refiner"]["fusion_model"]["dec_chl"] = [32, 16, 16, 8, 8]
+    model2 = MODELS.build(dict(type="PatchRefinerPlus", config=cfg2))
+    variables2 = model2.init(jax.random.PRNGKey(0))
+    loss_dict2, _ = model2.loss_jit(variables2, batch, mutable=True)
+    assert np.isfinite(float(loss_dict2["total_loss"]))
