@@ -58,7 +58,8 @@ class FusionUnet(nn.Module):
     glb_att: bool = False  # parity with BiDirectionalFusion interface
 
     @nn.compact
-    def __call__(self, c_feat, f_feat, pred1, pred2, update_base=None, **_):
+    def __call__(self, c_feat, f_feat, pred1, pred2, update_base=None,
+                 return_feat=False, **_):
         temp_feats = []
         for idx, (c, f) in enumerate(zip(c_feat, f_feat)):
             h = SingleConvCNNLN(self.temp_chl[idx], name=f"enc1_{idx}")(
@@ -81,9 +82,10 @@ class FusionUnet(nn.Module):
             in_mid = dec_c
 
         offset = nn.Conv(1, (3, 3), use_bias=False, name="final_conv")(cur)
-        if update_base is not None:
-            return jnp.maximum(update_base + offset, 0.0)
-        return offset
+        out = jnp.maximum(update_base + offset, 0.0) if update_base is not None else offset
+        if return_feat:
+            return out, cur
+        return out
 
 
 @MODELS.register_module()
@@ -115,6 +117,7 @@ class BiDirectionalFusion(nn.Module):
         update_base=None,
         pe_list=None,
         pe_patch_list=None,
+        return_feat=False,
     ):
         c_feat = list(c_feat)
         f_feat = list(f_feat)
@@ -190,9 +193,12 @@ class BiDirectionalFusion(nn.Module):
             in_mid = dec_c
 
         offset = nn.Conv(1, (3, 3), use_bias=False, name="final_conv")(cur)
-        if update_base is not None:
-            return jnp.maximum(update_base + offset, 0.0)
-        return offset
+        out = jnp.maximum(update_base + offset, 0.0) if update_base is not None else offset
+        if return_feat:
+            # the reference's distillation hook point: the input to
+            # final_conv (patchrefiner_semi.py:102-103, last_feat=True)
+            return out, cur
+        return out
 
 
 class SingleConvCNNLNHeavy(nn.Module):
@@ -260,6 +266,7 @@ class BiDirectionalFusionHeavy(BiDirectionalFusion):
         update_base=None,
         pe_list=None,
         pe_patch_list=None,
+        return_feat=False,
     ):
         c_feat = list(c_feat)
         f_feat = list(f_feat)
@@ -323,6 +330,7 @@ class BiDirectionalFusionHeavy(BiDirectionalFusion):
             in_mid = dec_c
 
         offset = nn.Conv(1, (3, 3), use_bias=False, name="final_conv")(cur)
-        if update_base is not None:
-            return jnp.maximum(update_base + offset, 0.0)
-        return offset
+        out = jnp.maximum(update_base + offset, 0.0) if update_base is not None else offset
+        if return_feat:
+            return out, cur
+        return out

@@ -8,9 +8,14 @@ dataset (cityscapes_dataset.py:200-219). Edge-loss variants by config type:
 SSI (midas), SSI-DA, SSI-Uncert, EdgeguidedRanking, SILog (:161-182).
 NaN/Inf guards zero the losses branchlessly (:184-192).
 
-No hooks: distillation features are the fusion head's final decoder input,
-which the refine path can expose explicitly (deferred to the distill-loss
-milestone).
+No hooks: the distillation feature (reference: forward hook on
+``refiner_fusion_model.final_conv``, patchrefiner_semi.py:99-106) is
+returned explicitly by the fusion head via ``return_feat``; the distill
+loss is applied between student and (stop-gradient) teacher features.
+Divergence note: the reference snapshot registers the hooks and builds the
+distill loss but never applies it in ``forward`` (verified — no use of
+``self.distill_loss``/``feat_*_hook.feat`` after __init__); here the
+evidently-intended loss IS applied, weighted by ``distill_loss_weight``.
 """
 
 from __future__ import annotations
@@ -66,9 +71,19 @@ class PatchRefinerSemi:
             self.edgeloss_ssi = build_model(edgeloss_ssi)
             self.ranking_weight = ranking_weight
             self.ssi_weight = ssi_weight
-        if distill:
-            raise NotImplementedError(
-                "feature distillation lands with the distill-loss milestone"
+        self.distill = bool(distill)
+        self.last_feat = last_feat
+        if self.distill:
+            if self.teacher is None:
+                # reference fails here too (hook registration on a missing
+                # teacher_model, patchrefiner_semi.py:103)
+                raise ValueError("distill=True requires model_cfg_teacher")
+            self.distill_loss_weight = distill_loss_weight
+            self.distill_loss = build_model(distill_loss)
+            import inspect
+
+            self._distill_takes_rng = (
+                "rng" in inspect.signature(self.distill_loss.__call__).parameters
             )
         self.min_depth = self.student.min_depth
         self.max_depth = self.student.max_depth
@@ -89,6 +104,14 @@ class PatchRefinerSemi:
             vt = self.teacher.init(kt)
             params["teacher"] = vt["params"]
             stats["teacher"] = vt.get("batch_stats", {})
+        if self.distill and getattr(self.distill_loss, "connector", None) is not None:
+            # connector (1x1 conv student->teacher dims) is trainable and
+            # channel-polymorphic; spatial dims are placeholders
+            dec_chl = tuple(self.student.net.fusion.dec_chl)
+            cv = self.distill_loss.init_connector(
+                jax.random.fold_in(kt, 1), (1, 8, 8, dec_chl[-1])
+            )
+            params["distill_connector"] = cv.get("params", {})
         return {"params": params, "batch_stats": stats}
 
     @staticmethod
@@ -101,15 +124,20 @@ class PatchRefinerSemi:
 
     def loss(self, variables, batch: dict, rng=None, mutable=False):
         vs = self._split_vars(variables, "student")
+        aux_t = None
         if self.teacher is not None:
             # online pseudo label: frozen teacher forward (no grads)
             vt = jax.lax.stop_gradient(self._split_vars(variables, "teacher"))
-            loss_t, aux_t = self.teacher.loss(vt, batch, rng=rng, mutable=False)
+            loss_t, aux_t = self.teacher.loss(
+                vt, batch, rng=rng, mutable=False, return_feat=self.distill
+            )
             pseudo_label = jax.lax.stop_gradient(aux_t["depth_pred"])
         else:
             pseudo_label = batch["pseudo_label"]
 
-        loss_dict_s, aux_s = self.student.loss(vs, batch, rng=rng, mutable=mutable)
+        loss_dict_s, aux_s = self.student.loss(
+            vs, batch, rng=rng, mutable=mutable, return_feat=self.distill
+        )
         if mutable and aux_s.get("variables"):
             new_stats = dict(variables.get("batch_stats", {}))
             new_stats["student"] = aux_s["variables"].get("batch_stats", {})
@@ -145,6 +173,24 @@ class PatchRefinerSemi:
         loss_dict_s = dict(loss_dict_s)
         loss_dict_s["edge_loss"] = edge_loss
         loss_dict_s["total_loss"] = total_s + self.edge_loss_weight * edge_loss
+
+        if self.distill and aux_t is not None:
+            feat_s = aux_s["distill_feat"]
+            feat_t = jax.lax.stop_gradient(aux_t["distill_feat"])
+            conn = variables["params"].get("distill_connector")
+            conn = {"params": conn} if conn else None
+            kw = {"connector_vars": conn}
+            if self._distill_takes_rng:
+                kw["rng"] = rng
+            d_loss = self.distill_loss(
+                feat_s, feat_t, batch.get("crop_depths"),
+                self.min_depth, self.max_depth, **kw,
+            )
+            d_loss = _nan_guard(d_loss, anchor)
+            loss_dict_s["distill_loss"] = d_loss
+            loss_dict_s["total_loss"] = (
+                loss_dict_s["total_loss"] + self.distill_loss_weight * d_loss
+            )
         aux_s["pseudo_label"] = pseudo_label
         return loss_dict_s, aux_s
 

@@ -211,6 +211,7 @@ class PRPlusNet(nn.Module):
         train: bool = False,
         pe_list=None,
         pe_patch_list=None,
+        return_feat: bool = False,
     ):
         """Refiner + fusion on a batch of patches (infer_forward,
         patchrefinerplus.py:330-365)."""
@@ -229,12 +230,15 @@ class PRPlusNet(nn.Module):
         L = self.fusion_feat_level
         c_list = list(coarse_feat_rois)[-L:][::-1]
         f_list = list(r_feats)[-L:][::-1]
-        depth = self.fusion(
+        out = self.fusion(
             c_list, f_list, coarse_pred_roi, r_depth, update_base=update_base,
-            pe_list=pe_list, pe_patch_list=pe_patch_list,
+            pe_list=pe_list, pe_patch_list=pe_patch_list, return_feat=return_feat,
         )
+        depth, feat = out if return_feat else (out, None)
         if self.strategy_refiner_target == "direct":
             depth = nn.sigmoid(depth) * self.max_depth
+        if return_feat:
+            return depth, feat
         return depth
 
     def infer_chunk(self, imgs_crop, coarse_pred, coarse_feats, bboxes):
@@ -247,19 +251,25 @@ class PRPlusNet(nn.Module):
             pe_list=pe_list, pe_patch_list=pe_patch_list,
         )
 
-    def train_forward(self, image_lr, crops_image_hr, bboxs, train: bool = True):
+    def train_forward(self, image_lr, crops_image_hr, bboxs, train: bool = True,
+                      return_feat: bool = False):
         """Training graph up to the depth prediction (losses applied by the
         orchestrator; patchrefinerplus.py:427-457). ``train=False`` runs the
-        same graph with frozen BN stats (e.g. the semi teacher forward)."""
+        same graph with frozen BN stats (e.g. the semi teacher forward).
+        ``return_feat`` additionally exposes the fusion head's final-conv
+        input (the reference's distillation hook point)."""
         coarse_feats, coarse_pred = self.coarse_forward(image_lr)
         idx = jnp.arange(bboxs.shape[0], dtype=jnp.int32)
         feat_rois, pred_roi = self._roi(coarse_pred, coarse_feats, bboxs, idx)
         pe_list, pe_patch_list = self._pe(coarse_feats, bboxs, idx)
-        depth = self.refine(
+        out = self.refine(
             crops_image_hr, feat_rois, pred_roi, train=train,
-            pe_list=pe_list, pe_patch_list=pe_patch_list,
+            pe_list=pe_list, pe_patch_list=pe_patch_list, return_feat=return_feat,
         )
-        return depth, coarse_pred
+        if return_feat:
+            depth, feat = out
+            return depth, coarse_pred, feat
+        return out, coarse_pred
 
     def pretrain_forward(self, image_lr, hack_strategy: str, rng=None):
         """Refiner pretraining with hacked coarse features
@@ -405,10 +415,13 @@ class PatchRefinerPlus:
         return self._loss_jit_cache[key](variables, batch, rng)
 
     # ------------------------------------------------------------ train
-    def loss(self, variables, batch: dict, rng: jax.Array | None = None, mutable=False):
+    def loss(self, variables, batch: dict, rng: jax.Array | None = None, mutable=False,
+             return_feat: bool = False):
         """(loss_dict, aux). batch keys follow the reference collect_input
         contract (u4k_dataset.py:206-213): image_lr, crops_image_hr,
-        depth_gt, crop_depths, bboxs — all NHWC jnp arrays."""
+        depth_gt, crop_depths, bboxs — all NHWC jnp arrays. With
+        ``return_feat`` the aux carries ``distill_feat`` (fusion-head
+        final-conv input) for PatchRefinerSemi feature distillation."""
         if self.pretrain_stage:
             out = self.net.apply(
                 variables,
@@ -435,19 +448,27 @@ class PatchRefinerPlus:
             batch["crops_image_hr"],
             bboxs,
             train=bool(mutable),
+            return_feat=return_feat,
             method=PRPlusNet.train_forward,
             mutable=mutable,
         )
-        (depth, coarse_pred), new_vars = out if mutable else (out, None)
+        fwd, new_vars = out if mutable else (out, None)
+        if return_feat:
+            depth, coarse_pred, distill_feat = fwd
+        else:
+            (depth, coarse_pred), distill_feat = fwd, None
         sig = self.sigloss(depth, batch["crop_depths"], self.min_depth, self.max_depth)
         gm = self.gmloss(depth, batch["crop_depths"], self.min_depth, self.max_depth)
         total = self.sigweight * sig + (1.0 - self.sigweight) * gm
         loss_dict = {"sig_fine_loss": sig, "gm_loss": gm, "total_loss": total}
-        return loss_dict, {
+        aux = {
             "depth_pred": depth,
             "coarse_prediction": coarse_pred,
             "variables": new_vars,
         }
+        if return_feat:
+            aux["distill_feat"] = distill_feat
+        return loss_dict, aux
 
     # ------------------------------------------------------------ infer
     def _build_infer_fn(self, cai_mode: str, tile_cfg: TileCfg, process_num: int):

@@ -128,6 +128,40 @@ def test_semi_online_pseudo_label():
     assert aux["pseudo_label"].shape == batch["crop_depths"].shape
 
 
+def test_semi_feature_distillation():
+    """Distill path: fusion final-conv features, MSE distill loss with a
+    1x1-conv connector (reference hook point patchrefiner_semi.py:99-106;
+    the loss application completes the reference's dead wiring)."""
+    student_cfg = dict(type="PatchRefinerPlus", config=tiny_config())
+    teacher_cfg = dict(type="PatchRefinerPlus", config=tiny_config())
+    model = MODELS.build(
+        dict(
+            type="PatchRefinerSemi",
+            model_cfg_student=student_cfg,
+            model_cfg_teacher=teacher_cfg,
+            edgeloss=dict(type="SILogLoss"),
+            edge_loss_weight=0.5,
+            distill=True,
+            distill_loss_weight=0.1,
+            distill_loss=dict(type="BaseDistillLoss", student_trans="conv", embed_dims=32),
+        )
+    )
+    variables = model.init(jax.random.PRNGKey(0))
+    assert "distill_connector" in variables["params"]
+    rng = np.random.RandomState(7)
+    batch = {
+        "image_lr": jnp.asarray(rng.rand(1, 84, 112, 3), jnp.float32),
+        "crops_image_hr": jnp.asarray(rng.rand(1, 84, 112, 3), jnp.float32),
+        "crop_depths": jnp.asarray(1 + 10 * rng.rand(1, 84, 112, 1), jnp.float32),
+        "depth_gt": jnp.asarray(1 + 10 * rng.rand(1, 84, 112, 1), jnp.float32),
+        "bboxs": jnp.asarray([[0.0, 0.0, 56.0, 42.0]], jnp.float32),
+    }
+    loss_dict, _ = model.loss_jit(variables, batch, mutable=True)
+    assert "distill_loss" in loss_dict
+    assert np.isfinite(float(loss_dict["total_loss"]))
+    assert np.isfinite(float(loss_dict["distill_loss"]))
+
+
 def test_ranking_and_extra_losses():
     from patchrefinerv2_tpu.models.losses_extra import (
         EdgeguidedRankingLoss,
