@@ -61,3 +61,14 @@ class LightWeightRefiner(nn.Module):
         feats = features[::-1]  # low-res -> high-res (6 levels)
         out_depth = jnp.zeros_like(crop_image[..., :1])
         return feats, out_depth
+
+
+@MODELS.register_module()
+class LightWeightRefinerPG(LightWeightRefiner):
+    """Progressive-guidance refiner variant
+    (estimator/models/blocks/lightweight_refiner_pg.py:140-183): a
+    LightWeightRefiner whose decoder is always the SimpleDPTHead —
+    registered for config-surface parity; no shipped reference config uses
+    it (dead-registered there too)."""
+
+    with_decoder: bool = True
