@@ -11,7 +11,41 @@ from __future__ import annotations
 from typing import Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class DotLayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis with dot-product reductions.
+
+    Numerically identical to ``nn.LayerNorm`` (same params: scale/bias), but
+    the mean/E[x^2] reductions are expressed as matmuls with a ones vector.
+    With small channel counts (32-64) at full patch resolution, XLA lowers a
+    plain reduce by flipping the feature map to a W-minor layout and copying
+    it back for the next conv (~200 MB per LN at 16x384x512x32 — profiled as
+    25% of inference time); a dot keeps the conv layout."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32)
+        ones = jnp.ones((c, 1), jnp.float32)
+        mean = jax.lax.dot_general(
+            xf, ones, (((xf.ndim - 1,), (0,)), ((), ())),
+            precision="highest",
+        ) / c
+        m2 = jax.lax.dot_general(
+            xf * xf, ones, (((xf.ndim - 1,), (0,)), ((), ())),
+            precision="highest",
+        ) / c
+        var = jnp.maximum(m2 - mean * mean, 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
 
 
 def gelu(x):
@@ -31,7 +65,7 @@ class ChannelLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm(epsilon=1e-6)(x)
+        return DotLayerNorm(epsilon=1e-6, name="LayerNorm_0")(x)
 
 
 class SingleConvCNNLN(nn.Module):
@@ -45,7 +79,7 @@ class SingleConvCNNLN(nn.Module):
     def __call__(self, x):
         k = self.kernel_size
         x = nn.Conv(self.features, (k, k), use_bias=False)(x)
-        x = nn.LayerNorm(epsilon=1e-6)(x)
+        x = DotLayerNorm(epsilon=1e-6, name="LayerNorm_0")(x)
         return gelu(x)
 
 

@@ -208,12 +208,12 @@ class SingleConvCNNLNHeavy(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from patchrefinerv2_tpu.models.blocks.convs import gelu
+        from patchrefinerv2_tpu.models.blocks.convs import DotLayerNorm, gelu
 
         x = nn.Conv(self.features, (3, 3), use_bias=False)(x)
-        x = nn.LayerNorm(epsilon=1e-6)(x)
+        x = DotLayerNorm(epsilon=1e-6, name="LayerNorm_0")(x)
         x = nn.Conv(self.features, (3, 3), use_bias=False)(x)
-        x = nn.LayerNorm(epsilon=1e-6)(x)
+        x = DotLayerNorm(epsilon=1e-6, name="LayerNorm_1")(x)
         x = nn.Conv(self.features, (3, 3), use_bias=False)(x)
         return gelu(x)
 

@@ -144,11 +144,18 @@ def crop_resize_patches(
     ww = jnp.asarray(resize_matrix(prw, out_shape[1], "bilinear", True), dtype)
     kw = {"preferred_element_type": jnp.float32} if dtype == jnp.bfloat16 else {"precision": "highest"}
 
-    def one(start):
-        patch = jax.lax.dynamic_slice(
-            image_hr, (start[0], start[1], 0), (prh, prw, image_hr.shape[-1])
-        ).astype(dtype)
-        p = jnp.einsum("oh,hwc->owc", wh, patch, **kw).astype(dtype)
-        return jnp.einsum("pw,owc->opc", ww, p, **kw).astype(dtype)
-
-    return jax.vmap(one)(starts)
+    # N static -> unrolled dynamic_slice per patch (a fast HBM copy each).
+    # Do NOT vmap the slice: a vmapped dynamic_slice lowers to a gather over
+    # the whole 4K image, which runs on the scalar units (~200ms/pass).
+    patches = jnp.stack(
+        [
+            jax.lax.dynamic_slice(
+                image_hr,
+                (starts[i, 0], starts[i, 1], 0),
+                (prh, prw, image_hr.shape[-1]),
+            ).astype(dtype)
+            for i in range(starts.shape[0])
+        ]
+    )
+    p = jnp.einsum("oh,nhwc->nowc", wh, patches, **kw).astype(dtype)
+    return jnp.einsum("pw,nowc->nopc", ww, p, **kw).astype(dtype)

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,6 +113,104 @@ def resize_matrix(
     return _resize_matrix_np(in_size, out_size, mode, bool(align_corners), scale_override)
 
 
+@functools.lru_cache(maxsize=256)
+def _axis_tap_plan(in_size, out_size, mode, align_corners, scale_override):
+    """Decompose one resize axis into <=2 static taps per output index and,
+    when sizes are exact integer multiples, into a set of (offset -> static
+    weight vector) terms over shifted repeats / strided slices.
+
+    Returns None when the axis has >2 taps (bicubic), a non-integer ratio,
+    or needs too many offsets — caller falls back to the dense matmul.
+    """
+    W = _resize_matrix_np(in_size, out_size, mode, bool(align_corners), scale_override)
+    idx0 = np.zeros(out_size, np.int64)
+    idx1 = np.zeros(out_size, np.int64)
+    w0 = np.zeros(out_size, np.float32)
+    w1 = np.zeros(out_size, np.float32)
+    for p in range(out_size):
+        nz = np.nonzero(W[p])[0]
+        if len(nz) == 0 or len(nz) > 2:
+            return None
+        idx0[p] = nz[0]
+        w0[p] = W[p, nz[0]]
+        idx1[p] = nz[-1]
+        if len(nz) == 2:
+            w1[p] = W[p, nz[1]]
+    if out_size % in_size == 0:
+        k = out_size // in_size
+        base = np.arange(out_size) // k
+        kind = "up"
+    elif in_size % out_size == 0:
+        k = in_size // out_size
+        base = np.arange(out_size) * k
+        kind = "down"
+    else:
+        return None
+    offs: dict[int, np.ndarray] = {}
+    for idx, w in ((idx0, w0), (idx1, w1)):
+        g_arr = idx - base
+        for g in np.unique(g_arr):
+            m = np.where(g_arr == g, w, 0.0).astype(np.float32)
+            offs[int(g)] = offs.get(int(g), 0.0) + m
+    offs = {g: w for g, w in offs.items() if np.any(w)}
+    if len(offs) > 6:
+        return None
+    return kind, k, tuple(sorted(offs.items()))
+
+
+def _shift_axis(x, axis, g, length):
+    """y[i] = x[clip(i+g)] along ``axis`` (edge padded; masked by weights)."""
+    if g == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    if g > 0:
+        pad[axis] = (0, g)
+        xp = jnp.pad(x, pad, mode="edge")
+        return jax.lax.slice_in_dim(xp, g, g + length, axis=axis)
+    pad[axis] = (-g, 0)
+    xp = jnp.pad(x, pad, mode="edge")
+    return jax.lax.slice_in_dim(xp, 0, length, axis=axis)
+
+
+def _resize_axis_fast(x, axis, out_size, mode, align_corners, scale_override):
+    """Integer-factor axis resize as static-weighted shifted copies.
+
+    Every pyramid interp in the fusion/DPT stacks is a x2-family resize; a
+    dense resize matmul there does ~in_size/2 times the needed FLOPs and
+    forces XLA layout copies around each dot (profiled at 25% of inference).
+    This path is elementwise (VPU), layout-preserving, and exact: each
+    output element receives exactly its <=2 bilinear taps.
+    """
+    in_size = x.shape[axis]
+    plan = _axis_tap_plan(in_size, int(out_size), mode, bool(align_corners), scale_override)
+    if plan is None:
+        return None
+    kind, k, offs = plan
+    out = None
+    bshape = [1] * x.ndim
+    bshape[axis] = int(out_size)
+    for g, w in offs:
+        if kind == "up":
+            shifted = _shift_axis(x, axis, g, in_size)
+            rep = jnp.repeat(shifted, k, axis=axis)
+        else:
+            pad_hi = max(0, (out_size - 1) * k + g + 1 - in_size)
+            pad_lo = max(0, -g)
+            xp = x
+            if pad_lo or pad_hi:
+                pad = [(0, 0)] * x.ndim
+                pad[axis] = (pad_lo, pad_hi)
+                xp = jnp.pad(x, pad, mode="edge")
+            start = g + pad_lo
+            rep = jax.lax.slice_in_dim(
+                xp, start, start + (out_size - 1) * k + 1, stride=k, axis=axis
+            )
+        wv = jnp.asarray(np.asarray(w), x.dtype).reshape(bshape)
+        term = rep * wv
+        out = term if out is None else out + term
+    return out
+
+
 def resize(
     x: jnp.ndarray,
     size: tuple[int, int],
@@ -123,6 +222,8 @@ def resize(
 
     Matches ``torch.nn.functional.interpolate(x_nchw, size, mode,
     align_corners)`` numerically (golden-tested in tests/test_resize.py).
+    Integer-factor bilinear/nearest axes take the shifted-copy fast path
+    (:func:`_resize_axis_fast`); other shapes use the dense-matrix MXU path.
     """
     if x.ndim == 3:  # HWC
         return resize(x[None], size, mode, align_corners, scale_override)[0]
@@ -134,21 +235,28 @@ def resize(
         return x
     dtype = x.dtype
     sh, sw = scale_override if scale_override else (None, None)
-    wh = jnp.asarray(resize_matrix(h, out_h, mode, align_corners, sh))
-    ww = jnp.asarray(resize_matrix(w, out_w, mode, align_corners, sw))
-    if dtype == jnp.bfloat16:
-        # keep the MXU in bf16 with f32 accumulation
-        y = x
-        wh = wh.astype(jnp.bfloat16)
-        ww = ww.astype(jnp.bfloat16)
-        y = jnp.einsum("oh,nhwc->nowc", wh, y, preferred_element_type=jnp.float32)
-        y = y.astype(jnp.bfloat16)
-        y = jnp.einsum("pw,nowc->nopc", ww, y, preferred_element_type=jnp.float32)
-        return y.astype(dtype)
-    y = x.astype(jnp.float32)
-    # contract H: (out_h,h) x (n,h,w,c) -> (n,out_h,w,c)
-    y = jnp.einsum("oh,nhwc->nowc", wh, y, precision="highest")
-    y = jnp.einsum("pw,nowc->nopc", ww, y, precision="highest")
+
+    compute_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
+    y = x.astype(compute_dtype)
+
+    for axis, out_size, s in ((1, out_h, sh), (2, out_w, sw)):
+        if y.shape[axis] == out_size and mode != "nearest" and s is None:
+            continue
+        # NOTE: a shifted-copy decomposition of integer-factor 2-tap resizes
+        # (see _resize_axis_fast) was profiled on v5e and LOSES to the dense
+        # matmul here — XLA materializes the broadcast/repeat terms (~35 ms
+        # of broadcasts per m1 frame) while the MXU absorbs the dense dot.
+        # Kept for host-side use and as the building block for a future
+        # pallas fusion; the jit path always uses the matmul.
+        wm = jnp.asarray(resize_matrix(y.shape[axis], out_size, mode, align_corners, s))
+        if compute_dtype == jnp.bfloat16:
+            wm = wm.astype(jnp.bfloat16)
+            spec = "oh,nhwc->nowc" if axis == 1 else "pw,nowc->nopc"
+            y = jnp.einsum(spec, wm, y, preferred_element_type=jnp.float32)
+            y = y.astype(jnp.bfloat16)
+        else:
+            spec = "oh,nhwc->nowc" if axis == 1 else "pw,nowc->nopc"
+            y = jnp.einsum(spec, wm, y, precision="highest")
     return y.astype(dtype)
 
 

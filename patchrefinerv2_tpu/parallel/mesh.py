@@ -33,13 +33,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch dict with leading batch axis onto the mesh.
     Non-numeric entries (filenames etc.) are dropped — the reference's
-    collect_input_args filter (trainer.py:128-134)."""
+    collect_input_args filter (trainer.py:128-134). Batches not divisible
+    by the mesh size are padded by repeating samples from the start —
+    the same evening-out rule torch's DistributedSampler applies
+    (reference L0, SURVEY section 2.4)."""
     sh = batch_sharding(mesh)
+    n_dev = mesh.devices.size
     out = {}
     for k, v in batch.items():
         arr = np.asarray(v)
-        if arr.dtype.kind in ("f", "i", "u", "b"):
-            out[k] = jax.device_put(jnp.asarray(arr), sh)
+        if arr.dtype.kind not in ("f", "i", "u", "b"):
+            continue
+        b = arr.shape[0]
+        if b % n_dev:
+            reps = -(-b // n_dev) * n_dev - b
+            idx = np.arange(b + reps) % b
+            arr = arr[idx]
+        out[k] = jax.device_put(jnp.asarray(arr), sh)
     return out
 
 

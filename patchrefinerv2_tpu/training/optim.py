@@ -44,6 +44,29 @@ def _path_lr_mult(path: tuple[str, ...], custom_keys: dict) -> float:
     return 1.0
 
 
+def _onecycle_lr_schedule(total_steps, peak, pct_start, div_factor, final_div_factor):
+    """torch OneCycleLR (anneal_strategy='cos', trainer.py:39-42): cosine
+    ramp initial->peak over pct_start*total, cosine anneal peak->final.
+
+    Hand-rolled instead of optax.cosine_onecycle_schedule, whose piecewise
+    interpolation emits nan when the warmup interval rounds to zero width
+    (degenerate few-step runs; surfaced by the 8-device trainer test)."""
+    total = max(int(total_steps), 1)
+    warm = max(int(total * pct_start), 1)
+    init = peak / div_factor
+    final = init / final_div_factor
+
+    def sched(step):
+        step = jnp.asarray(step, jnp.float32)
+        up = jnp.clip(step / warm, 0.0, 1.0)
+        lr_up = init + (peak - init) * 0.5 * (1.0 - jnp.cos(jnp.pi * up))
+        down = jnp.clip((step - warm) / max(total - warm, 1), 0.0, 1.0)
+        lr_down = final + (peak - final) * 0.5 * (1.0 + jnp.cos(jnp.pi * down))
+        return jnp.where(step < warm, lr_up, lr_down)
+
+    return sched
+
+
 def _momentum_schedule(total_steps, pct_start, base_m, max_m):
     """OneCycleLR momentum: max -> base during warmup, base -> max anneal."""
     warm = max(int(total_steps * pct_start), 1)
@@ -78,12 +101,8 @@ def build_optimizer(
     base_m = float(scheduler_cfg.get("base_momentum", 0.85))
     max_m = float(scheduler_cfg.get("max_momentum", 0.95))
 
-    lr_schedule = optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 1),
-        peak_value=max_lr,
-        pct_start=pct_start,
-        div_factor=div_factor,
-        final_div_factor=final_div_factor,
+    lr_schedule = _onecycle_lr_schedule(
+        total_steps, max_lr, pct_start, div_factor, final_div_factor
     )
 
     custom_keys = optim_cfg.get("paramwise_cfg", {}).get("custom_keys", {})
