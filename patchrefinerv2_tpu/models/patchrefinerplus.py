@@ -471,8 +471,17 @@ class PatchRefinerPlus:
         return loss_dict, aux
 
     # ------------------------------------------------------------ infer
-    def _build_infer_fn(self, cai_mode: str, tile_cfg: TileCfg, process_num: int):
-        """Trace one full tiled-inference program for a static signature."""
+    def _build_infer_fn(self, cai_mode: str, tile_cfg: TileCfg, process_num: int,
+                        mesh=None):
+        """Trace one full tiled-inference program for a static signature.
+
+        With ``mesh`` (a 1-D ``jax.sharding.Mesh`` over axis 'data'), the
+        patch chunk is sharded across chips: each device refines
+        process_num / n_devices patches and XLA all-gathers the small
+        depth predictions for the (replicated) blending canvases. This is
+        the TPU scale-out axis for single-image latency — the reference's
+        only intra-image parallelism is the process_num chunk loop on one
+        GPU (SURVEY.md section 5.7)."""
         net = self.net
         pph, ppw = self.patch_process_shape
         in_shape = self.patch_input_shape
@@ -504,6 +513,12 @@ class PatchRefinerPlus:
             )
 
             def refine_chunk(imgs, bboxes):
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    sh = NamedSharding(mesh, PartitionSpec("data"))
+                    imgs = jax.lax.with_sharding_constraint(imgs, sh)
+                    bboxes = jax.lax.with_sharding_constraint(bboxes, sh)
                 d = net.apply(
                     variables, imgs, coarse_pred, coarse_feats, bboxes,
                     method=type(net).infer_chunk,
@@ -563,9 +578,10 @@ class PatchRefinerPlus:
         return infer_fn
 
     @functools.lru_cache(maxsize=8)
-    def _jitted_infer(self, cai_mode: str, tile_key: tuple, process_num: int):
+    def _jitted_infer(self, cai_mode: str, tile_key: tuple, process_num: int,
+                      mesh=None):
         tile_cfg = TileCfg(tile_key[0], tile_key[1], self.patch_process_shape)
-        fn = self._build_infer_fn(cai_mode, tile_cfg, process_num)
+        fn = self._build_infer_fn(cai_mode, tile_cfg, process_num, mesh=mesh)
         return jax.jit(fn)
 
     def infer(
@@ -577,12 +593,17 @@ class PatchRefinerPlus:
         process_num: int = 4,
         tile_cfg: dict | None = None,
         seed: jax.Array | None = None,
+        mesh=None,
     ):
         """Full-image tiled inference. image_lr (1,h,w,3), image_hr (1,H,W,3).
 
         Returns (depth (H', W'), coarse_pred) where H' is the reensemble
         shape for m1/m2 and the raw shape for rN (the Tester resizes to gt
         for metrics, mirroring tester.py:109-117 / metric.py:100-106).
+
+        ``mesh``: optional 1-D Mesh(('data',)) — shards each patch chunk
+        across its devices (process_num must divide evenly); inputs and
+        params are placed replicated.
         """
         tc = self.tile_cfg
         if tile_cfg is not None:
@@ -591,12 +612,24 @@ class PatchRefinerPlus:
                 tuple(tile_cfg["patch_split_num"]),
                 self.patch_process_shape,
             )
+        if mesh is not None and process_num % mesh.devices.size:
+            raise ValueError(
+                f"process_num={process_num} must be divisible by the mesh "
+                f"size {mesh.devices.size}"
+            )
         fn = self._jitted_infer(
-            cai_mode, (tc.image_raw_shape, tc.patch_split_num), process_num
+            cai_mode, (tc.image_raw_shape, tc.patch_split_num), process_num,
+            mesh=mesh,
         )
         if seed is None:
             seed = jax.random.PRNGKey(0)
         variables = self._infer_variables(variables)
+        if mesh is not None:
+            from patchrefinerv2_tpu.parallel.mesh import replicate_tree
+
+            variables = replicate_tree(variables, mesh)
+            image_lr = replicate_tree(image_lr, mesh)
+            image_hr = replicate_tree(image_hr, mesh)
         return fn(variables, image_lr, image_hr, seed)
 
     def _infer_variables(self, variables):

@@ -103,6 +103,29 @@ def test_infer_m1_shape_and_finite(model_and_vars):
     assert np.asarray(depth).min() >= 0.0
 
 
+def test_sharded_infer_matches_single_device(model_and_vars):
+    """Mesh-sharded patch-chunk inference is numerically the single-device
+    program (same math, XLA inserts the collectives)."""
+    from patchrefinerv2_tpu.parallel.mesh import data_mesh
+
+    model, variables = model_and_vars
+    rng = np.random.RandomState(4)
+    image_lr = jnp.asarray(rng.rand(1, 84, 112, 3), jnp.float32)
+    image_hr = jnp.asarray(rng.rand(1, 168, 224, 3), jnp.float32)
+    d1, _ = model.infer(variables, image_lr, image_hr, cai_mode="m1", process_num=8)
+    d8, _ = model.infer(
+        variables, image_lr, image_hr, cai_mode="m1", process_num=8, mesh=data_mesh()
+    )
+    assert np.asarray(d8).shape == np.asarray(d1).shape
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        model.infer(
+            variables, image_lr, image_hr, cai_mode="m1", process_num=6,
+            mesh=data_mesh(),
+        )
+
+
 def test_infer_r4_runs_random_passes(model_and_vars):
     model, variables = model_and_vars
     rng = np.random.RandomState(2)
