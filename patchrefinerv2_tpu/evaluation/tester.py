@@ -137,6 +137,11 @@ class Tester:
         fps = float(np.mean(fps_list))
         var = float(np.var(fps_list))
         print_log(f"benchmark {cai_mode}: {fps:.3f} fps (var {var:.4f})")
+        # benchmark.txt in the work dir (tester.py:400-404)
+        os.makedirs(self.work_dir, exist_ok=True)
+        with open(os.path.join(self.work_dir, "benchmark.txt"), "w") as f:
+            f.write(f"cai_mode: {cai_mode}\nprocess_num: {process_num}\n")
+            f.write(f"fps_mean: {fps:.6f}\nfps_variance: {var:.6f}\n")
         return {"fps": fps, "fps_variance": var}
 
     def show_gts(self, out_dir=None):
@@ -162,13 +167,22 @@ class Tester:
         image_hr_shape=(1, 2160, 3840, 3),
         cai_mode="m1",
         process_num=4,
+        tile_cfg=None,
     ):
         """FLOPs / params via XLA cost analysis on the compiled tiled-
         inference program (replaces mmengine.analysis
         get_model_complexity_info, tester.py:384-398)."""
         import jax.numpy as jnp
 
+        from patchrefinerv2_tpu.models.tiling import TileCfg
+
         tc = self.model.tile_cfg
+        if tile_cfg is not None:
+            tc = TileCfg(
+                tuple(tile_cfg["image_raw_shape"]),
+                tuple(tile_cfg["patch_split_num"]),
+                self.model.patch_process_shape,
+            )
         fn = self.model._jitted_infer(
             cai_mode, (tc.image_raw_shape, tc.patch_split_num), process_num
         )

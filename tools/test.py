@@ -30,7 +30,8 @@ def main():
     parser.add_argument("--cai-mode", default="m1")
     parser.add_argument("--process-num", type=int, default=4)
     parser.add_argument(
-        "--test-type", default="normal", choices=["normal", "general", "consistency", "gen"]
+        "--test-type", default="normal",
+        choices=["normal", "general", "consistency", "gen", "benchmark"],
     )
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--gray-scale", action="store_true")
@@ -38,6 +39,9 @@ def main():
     parser.add_argument("--image-raw-shape", nargs=2, type=int, default=[2160, 3840])
     parser.add_argument("--patch-split-num", nargs=2, type=int, default=[4, 4])
     parser.add_argument("--cfg-option", nargs="+", default=None)
+    parser.add_argument("--bench-iters", type=int, default=50)
+    parser.add_argument("--bench-warmup", type=int, default=20)
+    parser.add_argument("--bench-repeats", type=int, default=10)
     args = parser.parse_args()
 
     cfg = Config.fromfile(args.config)
@@ -59,6 +63,7 @@ def main():
         "general": "general_dataloader",
         "consistency": "val_consistency_dataloader",
         "gen": "general_dataloader",
+        "benchmark": "test_in_dataloader",
     }[args.test_type]
     ds_cfg = cfg.get(loader_key, cfg.get("val_dataloader"))
     dataset = build_dataset(ds_cfg.dataset)
@@ -66,7 +71,29 @@ def main():
                         process_index=jax.process_index(), process_count=jax.process_count())
 
     tester = Tester(cfg, model, loader, work_dir=args.work_dir, save=args.save)
-    if args.test_type == "gen":
+    if args.test_type == "benchmark":
+        # fps + FLOPs/params on the first image (Tester.benchmark,
+        # reference tester.py:325-404 incl. benchmark.txt + complexity)
+        import jax.numpy as jnp
+
+        batch = next(iter(loader))
+        image_lr = jnp.asarray(batch["image_lr"])
+        image_hr = jnp.asarray(batch.get("image_hr", batch["image_lr"]))
+        tile = dict(image_raw_shape=list(args.image_raw_shape),
+                    patch_split_num=list(args.patch_split_num))
+        tester.benchmark(
+            variables, image_lr, image_hr,
+            cai_mode=args.cai_mode, process_num=args.process_num, tile_cfg=tile,
+            iters=args.bench_iters, warmup=args.bench_warmup,
+            repeats=args.bench_repeats,
+        )
+        tester.model_complexity(
+            variables,
+            image_lr_shape=tuple(image_lr.shape),
+            image_hr_shape=tuple(image_hr.shape),
+            cai_mode=args.cai_mode, process_num=args.process_num, tile_cfg=tile,
+        )
+    elif args.test_type == "gen":
         tester.generate_pl(
             variables, cai_mode=args.cai_mode, process_num=args.process_num
         )
