@@ -202,12 +202,24 @@ class MidasDPTBEiT(nn.Module):
     features: int = 256
     out_channels: tuple[int, ...] = (256, 512, 1024, 1024)
     use_rel_bias: bool = True
+    # trunk size passthrough (defaults = BEiT-L/16; smaller for tests)
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    taps: tuple[int, ...] = (5, 11, 17, 23)
 
     @nn.compact
     def __call__(self, x):
         # PrepForMidas normalization (midas.py:177-188); resize is external
         x = (x - 0.5) / 0.5
-        taps, (gh, gw) = BeitLarge(use_rel_bias=self.use_rel_bias, name="pretrained")(x)
+        taps, (gh, gw) = BeitLarge(
+            embed_dim=self.embed_dim,
+            depth=self.depth,
+            num_heads=self.num_heads,
+            taps=self.taps,
+            use_rel_bias=self.use_rel_bias,
+            name="pretrained",
+        )(x)
 
         levels = []
         for i, tok in enumerate(taps):

@@ -85,10 +85,19 @@ def convert_dino_vit(sd: Dict[str, np.ndarray], prefix: str = "pretrained.") -> 
     return params
 
 
-def _ffb(sd, g, base):
-    """FeatureFusionBlock (resConfUnit1/2 + out_conv) -> flax names."""
+def _ffb(sd, g, base, single_input=False):
+    """FeatureFusionBlock (resConfUnit1/2 + out_conv) -> flax names.
+
+    ``single_input``: the FIRST refinenet of a DPT decoder is called with one
+    input, so the flax block instantiates only ResidualConvUnit_0 — which
+    corresponds to torch ``resConfUnit2`` (resConfUnit1 exists in the torch
+    checkpoint but is dead weight there; it is dropped)."""
     out = {}
-    for unit_idx, unit in ((0, "resConfUnit1"), (1, "resConfUnit2")):
+    if single_input:
+        unit_map = (("resConfUnit2", 0),)
+    else:
+        unit_map = (("resConfUnit1", 0), ("resConfUnit2", 1))
+    for unit, unit_idx in unit_map:
         if f"{base}.{unit}.conv1.weight" not in sd:
             continue
         u = {}
@@ -119,7 +128,10 @@ def convert_da2_head(sd: Dict[str, np.ndarray], prefix: str = "depth_head.") -> 
         _set(params, [f"layer{i}_rn", "kernel"], t2f_conv(g(f"scratch.layer{i}_rn.weight")))
     raw = lambda k: np.asarray(sd[k])
     for i in range(1, 5):
-        params[f"refinenet{i}"] = _ffb(sd, raw, f"{prefix}scratch.refinenet{i}")
+        # refinenet4 is the single-input head of the chain (dpt.py:122-125)
+        params[f"refinenet{i}"] = _ffb(
+            sd, raw, f"{prefix}scratch.refinenet{i}", single_input=(i == 4)
+        )
     _set(params, ["output_conv1", "kernel"], t2f_conv(g("scratch.output_conv1.weight")))
     _set(params, ["output_conv1", "bias"], g("scratch.output_conv1.bias"))
     _set(params, ["output_conv2_0", "kernel"], t2f_conv(g("scratch.output_conv2.0.weight")))
@@ -135,6 +147,86 @@ def convert_da2(sd: Dict[str, np.ndarray]) -> dict:
         "pretrained": convert_dino_vit(sd, "pretrained."),
         "depth_head": convert_da2_head(sd, "depth_head."),
     }
+
+
+def convert_beit_midas(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
+    """MiDaS DPT_BEiT_L_384 state dict -> models/backbones/beit.MidasDPTBEiT.
+
+    Key schema: timm BEiT trunk under ``{prefix}pretrained.model.`` (qkv with
+    separate q_bias/v_bias, relative_position_bias_table with 3 trailing cls
+    rows, gamma_1/2 layer scale) + MiDaS DPT readouts under
+    ``{prefix}pretrained.act_postprocess{1..4}`` (0.project.0 readout linear,
+    3 = 1x1 project conv, 4 = resize conv/conv-transpose) + decoder under
+    ``{prefix}scratch.`` (layer{k}_rn, refinenet{k} resConfUnit1/2+out_conv,
+    output_conv.0/.2/.4). ``relative_position_index`` buffers are derived,
+    not copied. ``prefix`` handles nesting inside estimator checkpoints
+    (e.g. ``coarse_branch.core.core.``, zoedepth_v1.py:296-311)."""
+    g = lambda k: np.asarray(sd[prefix + k])
+    params: Dict[str, Any] = {}
+
+    # --- trunk -> params["pretrained"]
+    t = "pretrained.model."
+    trunk: Dict[str, Any] = {"cls_token": g(t + "cls_token")}
+    _set(trunk, ["patch_embed", "kernel"], t2f_conv(g(t + "patch_embed.proj.weight")))
+    _set(trunk, ["patch_embed", "bias"], g(t + "patch_embed.proj.bias"))
+    n_blocks = 1 + max(
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(re.escape(prefix + t) + r"blocks\.(\d+)\.", k))
+    )
+    for i in range(n_blocks):
+        b = t + f"blocks.{i}."
+        blk: Dict[str, Any] = {
+            "gamma_1": g(b + "gamma_1"),
+            "gamma_2": g(b + "gamma_2"),
+        }
+        _set(blk, ["norm1", "scale"], g(b + "norm1.weight"))
+        _set(blk, ["norm1", "bias"], g(b + "norm1.bias"))
+        _set(blk, ["norm2", "scale"], g(b + "norm2.weight"))
+        _set(blk, ["norm2", "bias"], g(b + "norm2.bias"))
+        _set(blk, ["attn", "qkv", "kernel"], t2f_linear(g(b + "attn.qkv.weight")))
+        _set(blk, ["attn", "q_bias"], g(b + "attn.q_bias"))
+        _set(blk, ["attn", "v_bias"], g(b + "attn.v_bias"))
+        _set(blk, ["attn", "relative_position_bias_table"],
+             g(b + "attn.relative_position_bias_table"))
+        _set(blk, ["attn", "proj", "kernel"], t2f_linear(g(b + "attn.proj.weight")))
+        _set(blk, ["attn", "proj", "bias"], g(b + "attn.proj.bias"))
+        _set(blk, ["fc1", "kernel"], t2f_linear(g(b + "mlp.fc1.weight")))
+        _set(blk, ["fc1", "bias"], g(b + "mlp.fc1.bias"))
+        _set(blk, ["fc2", "kernel"], t2f_linear(g(b + "mlp.fc2.weight")))
+        _set(blk, ["fc2", "bias"], g(b + "mlp.fc2.bias"))
+        trunk[f"block{i}"] = blk
+    params["pretrained"] = trunk
+
+    # --- DPT reassemble: readout linear + 1x1 project + resize convs
+    resize_name = {0: "resize0", 1: "resize1", 3: "resize3"}
+    for i in range(4):
+        ap = f"pretrained.act_postprocess{i + 1}."
+        _set(params, [f"readout{i}", "kernel"], t2f_linear(g(ap + "0.project.0.weight")))
+        _set(params, [f"readout{i}", "bias"], g(ap + "0.project.0.bias"))
+        _set(params, [f"project{i}", "kernel"], t2f_conv(g(ap + "3.weight")))
+        _set(params, [f"project{i}", "bias"], g(ap + "3.bias"))
+        if i in (0, 1):
+            _set(params, [resize_name[i], "kernel"], t2f_conv_transpose(g(ap + "4.weight")))
+            _set(params, [resize_name[i], "bias"], g(ap + "4.bias"))
+        elif i == 3:
+            _set(params, [resize_name[i], "kernel"], t2f_conv(g(ap + "4.weight")))
+            _set(params, [resize_name[i], "bias"], g(ap + "4.bias"))
+
+    # --- scratch decoder
+    for k in range(1, 5):
+        _set(params, [f"layer{k}_rn", "kernel"], t2f_conv(g(f"scratch.layer{k}_rn.weight")))
+        params[f"refinenet{k}"] = _ffb(
+            sd, lambda kk: np.asarray(sd[kk]), f"{prefix}scratch.refinenet{k}",
+            single_input=(k == 4),
+        )
+    _set(params, ["output_conv1", "kernel"], t2f_conv(g("scratch.output_conv.0.weight")))
+    _set(params, ["output_conv1", "bias"], g("scratch.output_conv.0.bias"))
+    _set(params, ["output_conv2_0", "kernel"], t2f_conv(g("scratch.output_conv.2.weight")))
+    _set(params, ["output_conv2_0", "bias"], g("scratch.output_conv.2.bias"))
+    _set(params, ["output_conv2_1", "kernel"], t2f_conv(g("scratch.output_conv.4.weight")))
+    _set(params, ["output_conv2_1", "bias"], g("scratch.output_conv.4.bias"))
+    return params
 
 
 def insert_converted(params: dict, subtree: dict, path: tuple[str, ...]) -> dict:
