@@ -229,6 +229,143 @@ def convert_beit_midas(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
     return params
 
 
+def _bn(g, base, params_path, stats_path, params, stats):
+    _set(params, params_path + ["scale"], g(base + ".weight"))
+    _set(params, params_path + ["bias"], g(base + ".bias"))
+    _set(stats, stats_path + ["mean"], g(base + ".running_mean"))
+    _set(stats, stats_path + ["var"], g(base + ".running_var"))
+
+
+def patch_stem_to_4ch(kernel: np.ndarray) -> np.ndarray:
+    """Zero-extend a (kh, kw, 3, O) stem kernel to 4 input channels — the
+    coarse-condition stem patch (patchrefinerplus.py:144-200 zero-fills the
+    4th channel of the pretrained stem weight)."""
+    kh, kw, ci, o = kernel.shape
+    assert ci == 3, kernel.shape
+    out = np.zeros((kh, kw, 4, o), kernel.dtype)
+    out[:, :, :3] = kernel
+    return out
+
+
+def convert_timm_mbnet(
+    sd: Dict[str, np.ndarray], prefix: str = "", in_ch: int = 3
+) -> dict:
+    """timm efficientnet/mobilenetv3-family state dict -> the
+    EfficientNetB5Features / MobileNetV3LargeFeatures flax trees
+    (models/backbones/encoders.py). Covers the reference's
+    ``tf_efficientnet_b5_ap`` and ``mobilenetv3_large_100``
+    (lightweight_refiner.py:260-262).
+
+    timm block types are detected per block from key presence:
+
+    * InvertedResidual (conv_pw/bn1, conv_dw/bn2, se, conv_pwl/bn3) maps
+      1:1 onto MBConv's names;
+    * DepthwiseSeparableConv (conv_dw/bn1, se, conv_pw/bn2) maps onto the
+      expand-skipped MBConv (our conv_dw/bn2, conv_pwl/bn3);
+    * ConvBnAct (conv/bn1 — mobilenetv3's final 960-ch stage) maps onto
+      conv_head/bn_head.
+
+    Returns {"params": ..., "batch_stats": ...} subtrees for the encoder
+    module. ``in_ch=4`` zero-extends the stem for coarse conditioning.
+    NOTE (zero-egress build): validated structurally against synthetic
+    state dicts with timm's key conventions; numeric validation against a
+    real timm checkpoint is pending weight availability.
+    """
+    g = lambda k: np.asarray(sd[prefix + k])
+    has = lambda k: (prefix + k) in sd
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    stem = t2f_conv(g("conv_stem.weight"))
+    if in_ch == 4:
+        stem = patch_stem_to_4ch(stem)
+    _set(params, ["conv_stem", "kernel"], stem)
+    _bn(g, "bn1", ["bn_stem", "BatchNorm_0"], ["bn_stem", "BatchNorm_0"], params, stats)
+
+    si = 0
+    while has(f"blocks.{si}.0.conv_dw.weight") or has(f"blocks.{si}.0.conv.weight"):
+        bi = 0
+        while True:
+            b = f"blocks.{si}.{bi}"
+            name = f"blocks_{si}_{bi}"
+            if has(b + ".conv_pwl.weight"):  # InvertedResidual
+                _set(params, [name, "conv_pw", "kernel"], t2f_conv(g(b + ".conv_pw.weight")))
+                _bn(g, b + ".bn1", [name, "bn1", "BatchNorm_0"], [name, "bn1", "BatchNorm_0"], params, stats)
+                _set(params, [name, "conv_dw", "kernel"], t2f_conv(g(b + ".conv_dw.weight")))
+                _bn(g, b + ".bn2", [name, "bn2", "BatchNorm_0"], [name, "bn2", "BatchNorm_0"], params, stats)
+                _set(params, [name, "conv_pwl", "kernel"], t2f_conv(g(b + ".conv_pwl.weight")))
+                _bn(g, b + ".bn3", [name, "bn3", "BatchNorm_0"], [name, "bn3", "BatchNorm_0"], params, stats)
+            elif has(b + ".conv_dw.weight"):  # DepthwiseSeparableConv
+                _set(params, [name, "conv_dw", "kernel"], t2f_conv(g(b + ".conv_dw.weight")))
+                _bn(g, b + ".bn1", [name, "bn2", "BatchNorm_0"], [name, "bn2", "BatchNorm_0"], params, stats)
+                _set(params, [name, "conv_pwl", "kernel"], t2f_conv(g(b + ".conv_pw.weight")))
+                _bn(g, b + ".bn2", [name, "bn3", "BatchNorm_0"], [name, "bn3", "BatchNorm_0"], params, stats)
+            elif has(b + ".conv.weight"):  # ConvBnAct -> head conv
+                _set(params, ["conv_head", "kernel"], t2f_conv(g(b + ".conv.weight")))
+                _bn(g, b + ".bn1", ["bn_head", "BatchNorm_0"], ["bn_head", "BatchNorm_0"], params, stats)
+            else:
+                break
+            if has(b + ".se.conv_reduce.weight"):
+                _set(params, [name, "se", "reduce", "kernel"], t2f_conv(g(b + ".se.conv_reduce.weight")))
+                _set(params, [name, "se", "reduce", "bias"], g(b + ".se.conv_reduce.bias"))
+                _set(params, [name, "se", "expand", "kernel"], t2f_conv(g(b + ".se.conv_expand.weight")))
+                _set(params, [name, "se", "expand", "bias"], g(b + ".se.conv_expand.bias"))
+            bi += 1
+            if not (has(f"blocks.{si}.{bi}.conv_dw.weight") or has(f"blocks.{si}.{bi}.conv.weight")):
+                break
+        si += 1
+
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_timm_convnext(
+    sd: Dict[str, np.ndarray], prefix: str = "", in_ch: int = 3, v2: bool = True
+) -> dict:
+    """timm convnext(v2)_large state dict -> backbones/convnext.
+    ConvNeXtFeatures params (stem conv+LN, 4 stages of downsample + blocks
+    with dwconv7x7 / LN / mlp / (GRN | layer-scale gamma)).
+
+    Same zero-egress caveat as :func:`convert_timm_mbnet`.
+    """
+    g = lambda k: np.asarray(sd[prefix + k])
+    has = lambda k: (prefix + k) in sd
+    params: Dict[str, Any] = {}
+
+    stem = t2f_conv(g("stem.0.weight"))
+    if in_ch == 4:
+        stem = patch_stem_to_4ch(stem)
+    _set(params, ["stem_0", "kernel"], stem)
+    _set(params, ["stem_0", "bias"], g("stem.0.bias"))
+    _set(params, ["stem_1", "scale"], g("stem.1.weight"))
+    _set(params, ["stem_1", "bias"], g("stem.1.bias"))
+
+    for s in range(4):
+        if s > 0:
+            _set(params, [f"downsample_norm{s}", "scale"], g(f"stages.{s}.downsample.0.weight"))
+            _set(params, [f"downsample_norm{s}", "bias"], g(f"stages.{s}.downsample.0.bias"))
+            _set(params, [f"downsample_conv{s}", "kernel"], t2f_conv(g(f"stages.{s}.downsample.1.weight")))
+            _set(params, [f"downsample_conv{s}", "bias"], g(f"stages.{s}.downsample.1.bias"))
+        bi = 0
+        while has(f"stages.{s}.blocks.{bi}.conv_dw.weight"):
+            b = f"stages.{s}.blocks.{bi}"
+            name = f"stage{s}_block{bi}"
+            _set(params, [name, "dwconv", "kernel"], t2f_conv(g(b + ".conv_dw.weight")))
+            _set(params, [name, "dwconv", "bias"], g(b + ".conv_dw.bias"))
+            _set(params, [name, "norm", "scale"], g(b + ".norm.weight"))
+            _set(params, [name, "norm", "bias"], g(b + ".norm.bias"))
+            _set(params, [name, "pwconv1", "kernel"], t2f_linear(g(b + ".mlp.fc1.weight")))
+            _set(params, [name, "pwconv1", "bias"], g(b + ".mlp.fc1.bias"))
+            _set(params, [name, "pwconv2", "kernel"], t2f_linear(g(b + ".mlp.fc2.weight")))
+            _set(params, [name, "pwconv2", "bias"], g(b + ".mlp.fc2.bias"))
+            if v2:
+                _set(params, [name, "grn", "gamma"], g(b + ".mlp.grn.weight").reshape(-1))
+                _set(params, [name, "grn", "beta"], g(b + ".mlp.grn.bias").reshape(-1))
+            elif has(b + ".gamma"):
+                _set(params, [name, "gamma"], g(b + ".gamma"))
+            bi += 1
+    return {"params": params}
+
+
 def insert_converted(params: dict, subtree: dict, path: tuple[str, ...]) -> dict:
     """Graft a converted subtree at path, verifying leaf shapes."""
     import copy

@@ -20,5 +20,6 @@ def test_bias_matches_gather():
     idx = _relative_position_index(gh, gw)
     s = gh * gw + 1
     ref = np.asarray(table)[idx.reshape(-1)].reshape(s, s, nh)
+    ref = ref.transpose(2, 0, 1)  # heads-leading layout (what attention adds)
     got = np.asarray(relative_position_bias(table, gh, gw))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

@@ -36,8 +36,10 @@ def main():
     parser.add_argument("--save", action="store_true")
     parser.add_argument("--gray-scale", action="store_true")
     parser.add_argument("--work-dir", default="./work_dir/test")
-    parser.add_argument("--image-raw-shape", nargs=2, type=int, default=[2160, 3840])
-    parser.add_argument("--patch-split-num", nargs=2, type=int, default=[4, 4])
+    # default to the model config's tile geometry; explicit flags override
+    # (reference defaults are 2160 3840 / 4 4, baked into its configs)
+    parser.add_argument("--image-raw-shape", nargs=2, type=int, default=None)
+    parser.add_argument("--patch-split-num", nargs=2, type=int, default=None)
     parser.add_argument("--cfg-option", nargs="+", default=None)
     parser.add_argument("--bench-iters", type=int, default=50)
     parser.add_argument("--bench-warmup", type=int, default=20)
@@ -50,6 +52,10 @@ def main():
     log_env(cfg)
 
     model = build_model(cfg.model)
+    if args.image_raw_shape is None:
+        args.image_raw_shape = list(model.tile_cfg.image_raw_shape)
+    if args.patch_split_num is None:
+        args.patch_split_num = list(model.tile_cfg.patch_split_num)
     variables = model.init(jax.random.PRNGKey(0))
     if args.ckp_path:
         ckpt = load_checkpoint(args.ckp_path)
