@@ -96,8 +96,9 @@ def _pick_blocks(h, w, c, oh, ow, itemsize):
         for bh_cap in (32, 16, 8, 4, 2, 1):
             bh_out = _largest_divisor_leq(oh, bh_cap)
             bh_in = min(int(np.ceil((bh_out - 1) * max((h - 1) / max(oh - 1, 1), 1.0))) + 2, h)
+            # 2x row band (double-buffered DMA) + mid + double-buffered out
             need = itemsize * (
-                bh_in * w * c + bh_in * bw_out * c + 2 * bh_out * bw_out * c
+                2 * bh_in * w * c + bh_in * bw_out * c + 2 * bh_out * bw_out * c
             )
             if need < _VMEM_BUDGET:
                 return bh_out, bw_out
@@ -158,13 +159,41 @@ def _build_kernel(
     frac_np = np.ascontiguousarray(frac)
 
     def kernel(rstart_ref, lo_ref, frac_ref, x_ref, wcol_ref, out_ref, x_vmem, mid, sem):
+        # grid is (n, hb, wb) with wb minor: each (n, hb) row band is DMA'd
+        # ONCE into a double-buffered scratch slot and reused across all wb
+        # column blocks, with the next band prefetched while this one is
+        # consumed (otherwise each program stalls on its own DMA).
         ni = pl.program_id(0)
         hi = pl.program_id(1)
-        rs = rstart_ref[hi]
+        wi = pl.program_id(2)
+        # slot parity follows the LINEAR band index (ni*n_hb + hi): with an
+        # odd n_hb, a per-hi parity would collide at batch boundaries
+        band_lin = ni * n_hb + hi
+        slot = jax.lax.rem(band_lin, 2)
 
-        cp = pltpu.make_async_copy(x_ref.at[ni, pl.ds(rs, bh_in)], x_vmem, sem)
-        cp.start()
-        cp.wait()
+        def band_dma(band_ni, band_hi, band_slot):
+            rs = rstart_ref[band_hi]
+            return pltpu.make_async_copy(
+                x_ref.at[band_ni, pl.ds(rs, bh_in)],
+                x_vmem.at[band_slot],
+                sem.at[band_slot],
+            )
+
+        @pl.when(wi == 0)
+        def _():
+            @pl.when(jnp.logical_and(ni == 0, hi == 0))
+            def _():
+                band_dma(ni, hi, slot).start()
+
+            band_dma(ni, hi, slot).wait()
+
+            lin = band_lin + 1
+
+            @pl.when(lin < n * n_hb)
+            def _():
+                nxt_ni = lin // n_hb
+                nxt_hi = jax.lax.rem(lin, n_hb)
+                band_dma(nxt_ni, nxt_hi, jax.lax.rem(lin, 2)).start()
 
         wc = wcol_ref[0]  # (bw_out, w)
 
@@ -173,7 +202,7 @@ def _build_kernel(
         prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
         def col_dot(hrow, _):
-            seg = x_vmem[hrow]  # (w, c)
+            seg = x_vmem[slot, hrow]  # (w, c)
             mid[hrow] = jnp.dot(
                 wc, seg, preferred_element_type=jnp.float32, precision=prec
             ).astype(dtype)
@@ -208,9 +237,9 @@ def _build_kernel(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((bh_in, w, c), dtype),
+            pltpu.VMEM((2, bh_in, w, c), dtype),
             pltpu.VMEM((bh_in, bw_out, c), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
