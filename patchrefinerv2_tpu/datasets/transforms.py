@@ -24,7 +24,9 @@ def aug_color(image: np.ndarray, brightness_range=(0.9, 1.1)):
         out = out * random.uniform(*brightness_range)
         colors = np.random.uniform(0.9, 1.1, size=3)
         out = out * colors[None, None, :]
-        image = np.clip(out, 0, 1)
+        # keep the input dtype: the python-float factors otherwise promote
+        # the whole image to float64 (2x host memory + transfer)
+        image = np.clip(out, 0, 1).astype(image.dtype)
     return image
 
 
