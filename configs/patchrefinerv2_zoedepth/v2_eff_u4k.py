@@ -68,6 +68,9 @@ model = dict(
         gmloss=dict(type="GradMatchLoss"),
         sigweight=1,
         pre_norm_bbox=True,
+        # rematerialize refiner+fusion in backward: the reference's
+        # bs=4/device recipe needs 17.1G without it (v5e HBM = 15.75G)
+        remat=True,
         pretrained=None,
         whole_pretrained=None,
     ),

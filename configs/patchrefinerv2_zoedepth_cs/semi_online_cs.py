@@ -42,6 +42,7 @@ _student = dict(
         gmloss=dict(type="GradMatchLoss"),
         sigweight=1,
         pre_norm_bbox=True,
+        remat=True,  # fit bs=4/device in 16G HBM (docs/performance.md)
     ),
 )
 

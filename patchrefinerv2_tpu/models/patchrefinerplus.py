@@ -160,6 +160,9 @@ class PRPlusNet(nn.Module):
     e2e_training: bool
     coarse_is_da2: bool = False
     pes: tuple = ()  # PositionEmbeddingRandom per level when glb_att is on
+    # True when fusion is an nn.remat-wrapped BiDirectionalFusion: remat's
+    # static_argnums require a positional call
+    fusion_positional: bool = False
 
     def coarse_forward(self, image_lr):
         out = self.coarse(image_lr)
@@ -220,7 +223,7 @@ class PRPlusNet(nn.Module):
         cdt = imgs_crop.dtype
         coarse_pred_roi = coarse_pred_roi.astype(cdt)
         coarse_feat_rois = [f.astype(cdt) for f in coarse_feat_rois]
-        r_feats, r_depth = self.fine(imgs_crop, coarse_pred_roi, train=train)
+        r_feats, r_depth = self.fine(imgs_crop, coarse_pred_roi, train)
         if self.strategy_refiner_target == "offset_fine":
             update_base = r_depth
         elif self.strategy_refiner_target == "offset_coarse":
@@ -230,10 +233,16 @@ class PRPlusNet(nn.Module):
         L = self.fusion_feat_level
         c_list = list(coarse_feat_rois)[-L:][::-1]
         f_list = list(r_feats)[-L:][::-1]
-        out = self.fusion(
-            c_list, f_list, coarse_pred_roi, r_depth, update_base=update_base,
-            pe_list=pe_list, pe_patch_list=pe_patch_list, return_feat=return_feat,
-        )
+        if self.fusion_positional:
+            out = self.fusion(
+                c_list, f_list, coarse_pred_roi, r_depth, update_base,
+                pe_list, pe_patch_list, return_feat,
+            )
+        else:
+            out = self.fusion(
+                c_list, f_list, coarse_pred_roi, r_depth, update_base=update_base,
+                pe_list=pe_list, pe_patch_list=pe_patch_list, return_feat=return_feat,
+            )
         depth, feat = out if return_feat else (out, None)
         if self.strategy_refiner_target == "direct":
             depth = nn.sigmoid(depth) * self.max_depth
@@ -274,7 +283,7 @@ class PRPlusNet(nn.Module):
     def pretrain_forward(self, image_lr, hack_strategy: str, rng=None):
         """Refiner pretraining with hacked coarse features
         (patchrefinerplus.py:382-424)."""
-        feats, r_depth = self.fine(image_lr, None, train=True)
+        feats, r_depth = self.fine(image_lr, None, True)
         c_list = []
         for i, f in enumerate(feats):
             b, h, w, _ = f.shape
@@ -328,8 +337,34 @@ class PatchRefinerPlus:
                 cfg.coarse_branch, self.min_depth, self.max_depth
             )
             coarse_is_da2 = cfg.coarse_branch.get("type") == "DA2"
-        fine = build_model(cfg.refiner.fine_branch)
-        fusion = build_model(cfg.refiner.fusion_model)
+        # remat: rematerialize the refiner encoder and fusion head in the
+        # backward pass. The fusion head's full-patch-res activations are
+        # what OOM a 16 GB chip at the reference's bs=4/device training
+        # recipe (measured 17.06G > 15.75G); with remat the step trades
+        # ~1/3 extra forward FLOPs for fitting the reference batch size.
+        self.remat = bool(cfg.get("remat", False))
+        if self.remat:
+            from patchrefinerv2_tpu.registry import MODELS as _MODELS
+
+            def _remat_build(sub_cfg, static_argnums):
+                d = dict(sub_cfg)
+                cls = _MODELS.get(d.pop("type"))
+                return nn.remat(cls, static_argnums=static_argnums)(**d)
+
+            # static argnums count self: fine.__call__(self, x, coarse, train)
+            fine = _remat_build(cfg.refiner.fine_branch, (3,))
+            fusion_type = cfg.refiner.fusion_model.get("type", "")
+            if "BiDirectionalFusion" in fusion_type:
+                # (self, c, f, p1, p2, update_base, pe, pe_patch, return_feat)
+                fusion = _remat_build(cfg.refiner.fusion_model, (8,))
+                self._fusion_positional = True
+            else:
+                fusion = build_model(cfg.refiner.fusion_model)
+                self._fusion_positional = False
+        else:
+            fine = build_model(cfg.refiner.fine_branch)
+            fusion = build_model(cfg.refiner.fusion_model)
+            self._fusion_positional = False
         pes = ()
         if getattr(fusion, "glb_att", False):
             from patchrefinerv2_tpu.models.blocks.transformers import (
@@ -355,6 +390,7 @@ class PatchRefinerPlus:
             e2e_training=self.e2e_training,
             coarse_is_da2=coarse_is_da2,
             pes=pes,
+            fusion_positional=self._fusion_positional,
         )
 
     # ---------------------------------------------------------- helpers
