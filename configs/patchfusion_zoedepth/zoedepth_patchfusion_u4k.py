@@ -1,0 +1,3 @@
+# Reference-named alias of the PatchFusion u4k recipe (reference
+# zoedepth_patchfusion_u4k.py; canonical copy: pf_u4k.py).
+_base_ = ["./pf_u4k.py"]

@@ -1,0 +1,18 @@
+# Pseudo-label generation over the kitti train split with the DA2-based
+# V1 model (reference patchrefiner_dav2/pr_u4k_gen_kitti.py).
+_base_ = ["./pr_u4k.py"]
+
+val_dataloader = dict(
+    batch_size=1,
+    num_workers=1,
+    dataset=dict(
+        _delete_=True,
+        type="KittiDataset",
+        mode="infer",
+        data_root="./data/kitti",
+        split="./data/kitti/kitti_eigen_train_files_with_gt.txt",
+        min_depth=1e-3,
+        max_depth=80,
+        transform_cfg=dict(degree=1.0, network_process_size=[448, 448]),
+    ),
+)

@@ -1,0 +1,92 @@
+# PatchRefiner V1 on Cityscapes (reference configs/patchrefiner_zoedepth/
+# pr_cs.py): ZoeDepth coarse+fine, FusionUnet head, 1024x2048 frames,
+# 4x4 split of 256x512 patches, max_depth 250.
+_base_ = [
+    "../_base_/datasets/cityscapes.py",
+    "../_base_/datasets/general_dataset.py",
+    "../_base_/run_time.py",
+]
+
+min_depth = 1e-3
+max_depth = 250
+
+zoe_depth_config = dict(
+    type="ZoeDepth",
+    min_depth=min_depth,
+    max_depth=max_depth,
+    midas_model_type="DPT_BEiT_L_384",
+    train_midas=True,
+    freeze_midas_bn=True,
+    do_resize=False,
+    attractor_alpha=1000,
+    attractor_gamma=2,
+    attractor_kind="mean",
+    attractor_type="inv",
+    bin_centers_type="softplus",
+    bin_embedding_dim=128,
+    img_size=[384, 512],
+    max_temp=50.0,
+    min_temp=0.0212,
+    n_attractors=[16, 8, 4, 1],
+    n_bins=64,
+)
+
+model = dict(
+    type="PatchRefiner",
+    config=dict(
+        image_raw_shape=[1024, 2048],
+        patch_process_shape=[384, 512],
+        patch_raw_shape=[256, 512],
+        patch_split_num=[4, 4],
+        fusion_feat_level=6,
+        min_depth=min_depth,
+        max_depth=max_depth,
+        pretrain_coarse_model="./work_dir/pr_zoedepth/cityscapes/coarse_pretrain/checkpoint_05",
+        pretrain_fine_model="./work_dir/pr_zoedepth/cityscapes/coarse_pretrain/checkpoint_05",
+        strategy_refiner_target="offset_coarse",
+        coarse_branch=zoe_depth_config,
+        refiner=dict(
+            fine_branch=zoe_depth_config,
+            fusion_model=dict(
+                type="FusionUnet",
+                input_chl=[32 * 2, 256 * 2, 256 * 2, 256 * 2, 256 * 2, 256 * 2],
+                temp_chl=[32, 256, 256, 256, 256, 256],
+                dec_chl=[256, 256, 256, 256, 32],
+            ),
+        ),
+        sigloss=dict(type="SILogLoss"),
+        pretrained=None,
+        pre_norm_bbox=True,
+    ),
+)
+
+collect_input_args = [
+    "image_lr", "image_hr", "crops_image_hr", "depth_gt", "crop_depths",
+    "bboxs", "seg_image",
+]
+
+project = "patchrefiner"
+
+train_cfg = dict(
+    max_epochs=5, val_interval=1, save_checkpoint_interval=5,
+    log_interval=100, train_log_img_interval=1000, val_log_img_interval=50,
+    val_type="epoch_base", eval_start=0,
+)
+
+optim_wrapper = dict(
+    optimizer=dict(type="AdamW", lr=0.000161, weight_decay=0.01),
+    clip_grad=dict(type="norm", max_norm=0.1, norm_type=2),
+    paramwise_cfg=dict(
+        bypass_duplicate=True,
+        custom_keys={"refiner_fine_branch.core": dict(lr_mult=0.1, decay_mult=1.0)},
+    ),
+)
+
+param_scheduler = dict(
+    cycle_momentum=True, base_momentum=0.85, max_momentum=0.95,
+    div_factor=2, final_div_factor=100, pct_start=0.3, three_phase=False,
+)
+
+train_dataloader = dict(
+    dataset=dict(transform_cfg=dict(image_raw_shape=[1024, 2048]))
+)

@@ -1,0 +1,13 @@
+# Offline-pseudo-label variant of pr_mix_cs (reference
+# patchrefiner_zoedepth_offline_pesudo/pr_mix_cs.py): same edge loss as
+# the online config, pseudo labels read from disk instead of a teacher.
+_base_ = ["../patchrefiner_zoedepth_online_pesudo/pr_mix_cs.py"]
+
+model = dict(model_cfg_teacher=None)
+
+train_dataloader = dict(
+    dataset=dict(
+        with_pseudo_label=True,
+        pseudo_label_path="./work_dir/zoedepth/u4k/patchrefiner/generate_pls_cs",
+    ),
+)

@@ -1,0 +1,12 @@
+# Edge loss = Depth-Anything-style mean/std-aligned SSI loss
+# (reference pr_ssi_da_cs.py).
+_base_ = ["./pr_sigloss_cs.py"]
+
+model = dict(
+    edgeloss=dict(
+        _delete_=True,
+        type="ScaleAndShiftInvariantDALoss",
+        only_missing_area=False,
+        grad_matching=False,
+    ),
+)

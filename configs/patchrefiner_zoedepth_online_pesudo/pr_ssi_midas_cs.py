@@ -1,0 +1,12 @@
+# Edge loss = MiDaS-style scale/shift-invariant loss on the teacher
+# prediction (reference pr_ssi_midas_cs.py).
+_base_ = ["./pr_sigloss_cs.py"]
+
+model = dict(
+    edgeloss=dict(
+        _delete_=True,
+        type="ScaleAndShiftInvariantLoss",
+        only_missing_area=False,
+        grad_matching=False,
+    ),
+)

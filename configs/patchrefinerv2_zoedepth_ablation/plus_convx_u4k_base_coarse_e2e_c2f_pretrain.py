@@ -1,0 +1,23 @@
+# Ablation config (reference configs/patchrefinerv2_zoedepth_ablation/plus_convx_u4k_base_coarse_e2e_c2f_pretrain.py):
+# ConvNeXtV2-L full V2 from the m0s1 refiner pretrain
+_base_ = ["../patchrefinerv2_zoedepth/v2_convx_u4k.py"]
+
+model = dict(
+    config=dict(
+        e2e_training=True,
+        pretrained="./work_dir/v2/u4k/pretrain_m0s1/checkpoint_96",
+        refiner=dict(
+            fine_branch=dict(
+                encoder_name="convnextv2_large.fcmae_ft_in22k_in1k_384",
+                coarse_condition=True,
+            ),
+            fusion_model=dict(
+                coarse2fine_type="coarse-gated",
+                encoder_name="convnextv2_large.fcmae_ft_in22k_in1k_384",
+                coarse2fine=True,
+                fine_chl=[96, 192, 384, 768, 1536],
+                fine_chl_after_coarse2fine=[32, 256, 256, 256, 256, 256],
+            ),
+        ),
+    ),
+)

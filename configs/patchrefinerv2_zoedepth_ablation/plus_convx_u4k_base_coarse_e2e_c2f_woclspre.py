@@ -1,0 +1,22 @@
+# Ablation config (reference configs/patchrefinerv2_zoedepth_ablation/plus_convx_u4k_base_coarse_e2e_c2f_woclspre.py):
+# ConvNeXt-L (supervised weights, no FCMAE cls-pretrain) full V2
+_base_ = ["../patchrefinerv2_zoedepth/v2_convx_u4k.py"]
+
+model = dict(
+    config=dict(
+        e2e_training=True,
+        refiner=dict(
+            fine_branch=dict(
+                encoder_name="convnext_large",
+                coarse_condition=True,
+            ),
+            fusion_model=dict(
+                coarse2fine_type="coarse-gated",
+                encoder_name="convnext_large",
+                coarse2fine=True,
+                fine_chl=[96, 192, 384, 768, 1536],
+                fine_chl_after_coarse2fine=[32, 256, 256, 256, 256, 256],
+            ),
+        ),
+    ),
+)

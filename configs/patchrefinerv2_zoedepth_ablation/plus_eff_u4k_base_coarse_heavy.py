@@ -1,0 +1,27 @@
+# Ablation config (reference configs/patchrefinerv2_zoedepth_ablation/plus_eff_u4k_base_coarse_heavy.py):
+# EfficientNet-B5 heavy-conv fusion head
+_base_ = ["../patchrefinerv2_zoedepth/v2_eff_u4k.py"]
+
+model = dict(
+    config=dict(
+        e2e_training=False,
+        refiner=dict(
+            fine_branch=dict(
+                encoder_name="tf_efficientnet_b5_ap",
+                coarse_condition=True,
+            ),
+            fusion_model=dict(
+                _delete_=True,
+                type="BiDirectionalFusionHeavy",
+                coarse2fine_type="coarse-gated",
+                coarse_chl=[32, 256, 256, 256, 256, 256],
+                temp_chl=[32, 64, 64, 128, 256, 512],
+                dec_chl=[512, 256, 128, 64, 32],
+                encoder_name="tf_efficientnet_b5_ap",
+                coarse2fine=False,
+                fine_chl=[24, 40, 64, 176, 512],
+                fine_chl_after_coarse2fine=[32, 24, 40, 64, 176, 512],
+            ),
+        ),
+    ),
+)

@@ -1,0 +1,22 @@
+# Ablation config (reference configs/patchrefinerv2_zoedepth_ablation/plus_mobile_c2f_noenc.py):
+# C2F variant 'only-gate' (no decoder chain), MobileNetV4-medium
+_base_ = ["../patchrefinerv2_zoedepth/v2_mobile_u4k.py"]
+
+model = dict(
+    config=dict(
+        e2e_training=True,
+        refiner=dict(
+            fine_branch=dict(
+                encoder_name="mobilenetv4_conv_medium.e500_r256_in1k",
+                coarse_condition=True,
+            ),
+            fusion_model=dict(
+                coarse2fine_type="only-gate",
+                encoder_name="mobilenetv4_conv_medium.e500_r256_in1k",
+                coarse2fine=True,
+                fine_chl=[32, 48, 80, 160, 960],
+                fine_chl_after_coarse2fine=[32, 256, 256, 256, 256, 256],
+            ),
+        ),
+    ),
+)

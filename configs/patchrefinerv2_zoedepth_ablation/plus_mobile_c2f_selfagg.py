@@ -1,0 +1,22 @@
+# Ablation config (reference configs/patchrefinerv2_zoedepth_ablation/plus_mobile_c2f_selfagg.py):
+# C2F variant 'self-agg' (no coarse injection in the decoder)
+_base_ = ["../patchrefinerv2_zoedepth/v2_mobile_u4k.py"]
+
+model = dict(
+    config=dict(
+        e2e_training=True,
+        refiner=dict(
+            fine_branch=dict(
+                encoder_name="mobilenetv4_conv_small.e2400_r224_in1k",
+                coarse_condition=True,
+            ),
+            fusion_model=dict(
+                coarse2fine_type="self-agg",
+                encoder_name="mobilenetv4_conv_small.e2400_r224_in1k",
+                coarse2fine=True,
+                fine_chl=[32, 32, 64, 96, 960],
+                fine_chl_after_coarse2fine=[32, 256, 256, 256, 256, 256],
+            ),
+        ),
+    ),
+)

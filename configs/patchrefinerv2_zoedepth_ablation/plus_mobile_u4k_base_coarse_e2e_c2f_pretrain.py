@@ -1,0 +1,23 @@
+# Ablation config (reference configs/patchrefinerv2_zoedepth_ablation/plus_mobile_u4k_base_coarse_e2e_c2f_pretrain.py):
+# full V2 warm-started from the m0s1 refiner pretrain
+_base_ = ["../patchrefinerv2_zoedepth/v2_mobile_u4k.py"]
+
+model = dict(
+    config=dict(
+        e2e_training=True,
+        pretrained="./work_dir/v2/u4k/pretrain_m0s1/checkpoint_96",
+        refiner=dict(
+            fine_branch=dict(
+                encoder_name="mobilenetv4_conv_small.e2400_r224_in1k",
+                coarse_condition=True,
+            ),
+            fusion_model=dict(
+                coarse2fine_type="coarse-gated",
+                encoder_name="mobilenetv4_conv_small.e2400_r224_in1k",
+                coarse2fine=True,
+                fine_chl=[32, 32, 64, 96, 960],
+                fine_chl_after_coarse2fine=[32, 256, 256, 256, 256, 256],
+            ),
+        ),
+    ),
+)

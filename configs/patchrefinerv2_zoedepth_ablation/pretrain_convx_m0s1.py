@@ -1,0 +1,25 @@
+# Ablation config (reference configs/patchrefinerv2_zoedepth_ablation/pretrain_convx_m0s1.py):
+# refiner m0s1 pretraining, ConvNeXtV2-L
+_base_ = ["../patchrefinerv2_zoedepth/v2_convx_u4k.py"]
+
+model = dict(
+    config=dict(
+        e2e_training=True,
+        pretrain_stage=True,
+        hack_strategy="mean_0_std_1",
+        refiner=dict(
+            fine_branch=dict(
+                encoder_name="convnextv2_large.fcmae_ft_in22k_in1k_384",
+                coarse_condition=False,
+                with_decoder=True,
+            ),
+            fusion_model=dict(
+                coarse2fine_type="coarse-gated",
+                encoder_name="convnextv2_large.fcmae_ft_in22k_in1k_384",
+                coarse2fine=True,
+                fine_chl=[96, 192, 384, 768, 1536],
+                fine_chl_after_coarse2fine=[32, 256, 256, 256, 256, 256],
+            ),
+        ),
+    ),
+)

@@ -1,0 +1,25 @@
+# Ablation config (reference configs/patchrefinerv2_zoedepth_ablation/pretrain_mobile_m0s1.py):
+# refiner m0s1 pretraining, MobileNetV4-small
+_base_ = ["../patchrefinerv2_zoedepth/v2_mobile_u4k.py"]
+
+model = dict(
+    config=dict(
+        e2e_training=True,
+        pretrain_stage=True,
+        hack_strategy="mean_0_std_1",
+        refiner=dict(
+            fine_branch=dict(
+                encoder_name="mobilenetv4_conv_small.e2400_r224_in1k",
+                coarse_condition=False,
+                with_decoder=True,
+            ),
+            fusion_model=dict(
+                coarse2fine_type="coarse-gated",
+                encoder_name="mobilenetv4_conv_small.e2400_r224_in1k",
+                coarse2fine=True,
+                fine_chl=[32, 32, 64, 96, 960],
+                fine_chl_after_coarse2fine=[32, 256, 256, 256, 256, 256],
+            ),
+        ),
+    ),
+)

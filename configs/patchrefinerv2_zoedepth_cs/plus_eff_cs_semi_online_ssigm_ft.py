@@ -1,0 +1,13 @@
+# Online-teacher semi fine-tune with SSI + grad-matching edge loss
+# (reference plus_eff_cs_semi_online_ssigm_ft.py; canonical house copy:
+# semi_online_cs.py).
+_base_ = ["./semi_online_cs.py"]
+
+model = dict(
+    edgeloss=dict(
+        _delete_=True,
+        type="ScaleAndShiftInvariantLoss",
+        only_missing_area=False,
+        grad_matching=True,
+    ),
+)

@@ -1,0 +1,14 @@
+# m0s1 refiner pretraining on Cityscapes geometry (reference
+# patchrefinerv2_zoedepth_cs/pretrain_convx.py).
+_base_ = ["./plus_convx_pretrain.py"]
+
+model = dict(
+    config=dict(
+        pretrain_stage=True,
+        hack_strategy="mean_0_std_1",
+        pretrained=None,
+        refiner=dict(
+            fine_branch=dict(coarse_condition=False, with_decoder=True),
+        ),
+    ),
+)
