@@ -85,6 +85,15 @@ def main():
     model = MODELS.build(dict(type="PatchRefinerPlus", config=flagship_config()))
     variables = model.init(jax.random.PRNGKey(0))
 
+    # on a multi-chip host, shard each patch chunk across the chips (the
+    # mesh path of PatchRefinerPlus.infer); single chip runs unsharded
+    mesh = None
+    n_dev = jax.device_count()
+    if n_dev > 1 and process_num % n_dev == 0:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
     rng = np.random.RandomState(0)
     image_lr = jnp.asarray(rng.rand(1, 384, 512, 3), jnp.float32)
     image_hr = jnp.asarray(rng.rand(1, 2160, 3840, 3), jnp.float32)
@@ -93,7 +102,7 @@ def main():
     def once():
         d, _ = model.infer(
             variables, image_lr, image_hr,
-            cai_mode=cai_mode, process_num=process_num, seed=seed,
+            cai_mode=cai_mode, process_num=process_num, seed=seed, mesh=mesh,
         )
         jax.block_until_ready(d)
 
