@@ -83,6 +83,11 @@ class MBConv(nn.Module):
     se_gate: str = "sigmoid"
     se_act: str = "silu"
     expand_ch: int | None = None  # explicit (mobilenetv3); else in_ch * expand
+    # torch-native timm models (mobilenetv3/v4) pad k//2 on BOTH sides of a
+    # strided conv; tf_ ports use asymmetric TF SAME. The two differ for
+    # stride 2 (values shift by one at the top/left edge).
+    torch_pad: bool = False
+    bn_eps: float = 1e-3  # tf_ ports 1e-3; torch-native models 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -94,23 +99,24 @@ class MBConv(nn.Module):
         h = x
         if mid != in_ch:
             h = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw")(h)
-            h = _BN(name="bn1")(h, train)
+            h = _BN(eps=self.bn_eps, name="bn1")(h, train)
             h = act(h)
+        k2 = self.kernel // 2
         h = nn.Conv(
             mid,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             feature_group_count=mid,
             use_bias=False,
-            padding="SAME",
+            padding=((k2, k2), (k2, k2)) if self.torch_pad else "SAME",
             name="conv_dw",
         )(h)
-        h = _BN(name="bn2")(h, train)
+        h = _BN(eps=self.bn_eps, name="bn2")(h, train)
         h = act(h)
         if self.se_reduced:
             h = SqueezeExcite(self.se_reduced, self.se_gate, self.se_act, name="se")(h)
         h = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="conv_pwl")(h)
-        h = _BN(name="bn3")(h, train)
+        h = _BN(eps=self.bn_eps, name="bn3")(h, train)
         if self.stride == 1 and in_ch == self.out_ch:
             h = h + x
         return h
@@ -187,7 +193,8 @@ class MobileNetV3LargeFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = nn.Conv(16, (3, 3), strides=(2, 2), use_bias=False, padding="SAME", name="conv_stem")(x)
+        h = nn.Conv(16, (3, 3), strides=(2, 2), use_bias=False,
+                    padding=((1, 1), (1, 1)), name="conv_stem")(x)
         h = _BN(eps=1e-5, name="bn_stem")(h, train)
         h = _hardswish(h)
         feats = []
@@ -204,6 +211,8 @@ class MobileNetV3LargeFeatures(nn.Module):
                     act=act,
                     se_gate="hardsigmoid",
                     se_act="relu",
+                    torch_pad=True,
+                    bn_eps=1e-5,
                     name=f"blocks_{si}_{bi}",
                 )(h, train)
                 # tap the feature BEFORE downsampling stages like timm does:

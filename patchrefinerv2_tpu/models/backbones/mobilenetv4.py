@@ -31,9 +31,10 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        k2 = self.kernel // 2
         h = nn.Conv(
             self.out_ch, (self.kernel, self.kernel), strides=(self.stride, self.stride),
-            use_bias=False, padding="SAME", name="conv",
+            use_bias=False, padding=((k2, k2), (k2, k2)), name="conv",
         )(x)
         h = _BN(eps=1e-5, name="bn")(h, train)
         return _relu(h) if self.act else h
@@ -55,25 +56,29 @@ class UIB(nn.Module):
         mid = int(in_ch * self.expand)
         h = x
         if self.dw_start:
+            ks = self.dw_start // 2
             h = nn.Conv(
                 in_ch, (self.dw_start, self.dw_start), feature_group_count=in_ch,
-                use_bias=False, padding="SAME", name="dw_start",
+                use_bias=False, padding=((ks, ks), (ks, ks)), name="dw_start",
             )(h)
             h = _BN(eps=1e-5, name="bn_s")(h, train)
         h = nn.Conv(mid, (1, 1), use_bias=False, name="pw_exp")(h)
         h = _BN(eps=1e-5, name="bn_e")(h, train)
         h = _relu(h)
         if self.dw_mid:
+            km = self.dw_mid // 2
             h = nn.Conv(
                 mid, (self.dw_mid, self.dw_mid), strides=(self.stride, self.stride),
-                feature_group_count=mid, use_bias=False, padding="SAME", name="dw_mid",
+                feature_group_count=mid, use_bias=False,
+                padding=((km, km), (km, km)), name="dw_mid",
             )(h)
             h = _BN(eps=1e-5, name="bn_m")(h, train)
             h = _relu(h)
         elif self.stride > 1:
             h = nn.Conv(
                 mid, (3, 3), strides=(self.stride, self.stride),
-                feature_group_count=mid, use_bias=False, padding="SAME", name="dw_stride",
+                feature_group_count=mid, use_bias=False,
+                padding=((1, 1), (1, 1)), name="dw_stride",
             )(h)
             h = _BN(eps=1e-5, name="bn_m")(h, train)
             h = _relu(h)
