@@ -44,41 +44,59 @@ def _path_lr_mult(path: tuple[str, ...], custom_keys: dict) -> float:
     return 1.0
 
 
+def _cos_anneal(start, end, pct):
+    """torch OneCycleLR._annealing_cos: cosine from start to end."""
+    return end + (start - end) * 0.5 * (1.0 + jnp.cos(jnp.pi * pct))
+
+
+def _onecycle_phases(total_steps, pct_start):
+    """torch OneCycleLR phase milestones (lr_scheduler.py: the warmup ends
+    at float(pct_start*total)-1 and the anneal at total-1 — FLOAT
+    milestones, not int-rounded step counts). Degenerate widths are
+    clamped so few-step runs stay finite (optax's onecycle emits nan
+    there; surfaced by the 8-device trainer test)."""
+    total = max(float(total_steps), 1.0)
+    warm_end = max(pct_start * total - 1.0, 1e-6)
+    total_end = max(total - 1.0, warm_end + 1e-6)
+    return warm_end, total_end
+
+
 def _onecycle_lr_schedule(total_steps, peak, pct_start, div_factor, final_div_factor):
     """torch OneCycleLR (anneal_strategy='cos', trainer.py:39-42): cosine
-    ramp initial->peak over pct_start*total, cosine anneal peak->final.
-
-    Hand-rolled instead of optax.cosine_onecycle_schedule, whose piecewise
-    interpolation emits nan when the warmup interval rounds to zero width
-    (degenerate few-step runs; surfaced by the 8-device trainer test)."""
-    total = max(int(total_steps), 1)
-    warm = max(int(total * pct_start), 1)
+    ramp initial->peak over the warmup phase, cosine anneal peak->final.
+    Golden-tested stepwise against torch.optim.lr_scheduler.OneCycleLR."""
+    warm_end, total_end = _onecycle_phases(total_steps, pct_start)
     init = peak / div_factor
     final = init / final_div_factor
 
     def sched(step):
         step = jnp.asarray(step, jnp.float32)
-        up = jnp.clip(step / warm, 0.0, 1.0)
-        lr_up = init + (peak - init) * 0.5 * (1.0 - jnp.cos(jnp.pi * up))
-        down = jnp.clip((step - warm) / max(total - warm, 1), 0.0, 1.0)
-        lr_down = final + (peak - final) * 0.5 * (1.0 + jnp.cos(jnp.pi * down))
-        return jnp.where(step < warm, lr_up, lr_down)
+        up = jnp.clip(step / warm_end, 0.0, 1.0)
+        down = jnp.clip((step - warm_end) / (total_end - warm_end), 0.0, 1.0)
+        return jnp.where(
+            step <= warm_end,
+            _cos_anneal(init, peak, up),
+            _cos_anneal(peak, final, down),
+        )
 
     return sched
 
 
 def _momentum_schedule(total_steps, pct_start, base_m, max_m):
-    """OneCycleLR momentum: max -> base during warmup, base -> max anneal."""
-    warm = max(int(total_steps * pct_start), 1)
+    """OneCycleLR momentum (cycled inversely to lr, cosine in BOTH
+    phases like torch's anneal_strategy='cos'): max -> base over warmup,
+    base -> max over the anneal."""
+    warm_end, total_end = _onecycle_phases(total_steps, pct_start)
 
     def sched(step):
         step = jnp.asarray(step, jnp.float32)
-        up = jnp.clip(step / warm, 0.0, 1.0)
-        down = jnp.clip((step - warm) / jnp.maximum(total_steps - warm, 1), 0.0, 1.0)
-        m_warm = max_m + (base_m - max_m) * up
-        cos_down = 0.5 * (1 + jnp.cos(jnp.pi * (1 - down)))  # 0 -> 1
-        m_anneal = base_m + (max_m - base_m) * cos_down
-        return jnp.where(step < warm, m_warm, m_anneal)
+        up = jnp.clip(step / warm_end, 0.0, 1.0)
+        down = jnp.clip((step - warm_end) / (total_end - warm_end), 0.0, 1.0)
+        return jnp.where(
+            step <= warm_end,
+            _cos_anneal(max_m, base_m, up),
+            _cos_anneal(base_m, max_m, down),
+        )
 
     return sched
 

@@ -20,7 +20,12 @@ def colorize(
     background_color=(128, 128, 128, 255),
     gamma_corrected=False,
     value_transform=None,
+    vminp=2,
+    vmaxp=95,
 ) -> np.ndarray:
+    """Reference color.py:95-158 semantics: percentile normalization with
+    vminp/vmaxp (defaults 2/95; the Tester passes 0/100 for the full-range
+    Spectral/magma dumps, tester.py:78-82)."""
     import matplotlib
 
     value = np.asarray(value, np.float32).squeeze()
@@ -28,8 +33,8 @@ def colorize(
         invalid_mask = value == invalid_val
     mask = np.logical_not(invalid_mask)
 
-    vmin = np.percentile(value[mask], 2) if vmin is None else vmin
-    vmax = np.percentile(value[mask], 85) if vmax is None else vmax
+    vmin = np.percentile(value[mask], vminp) if vmin is None else vmin
+    vmax = np.percentile(value[mask], vmaxp) if vmax is None else vmax
     if vmin != vmax:
         value = (value - vmin) / (vmax - vmin)
     else:
@@ -55,8 +60,11 @@ def save_raw_16bit(depth: np.ndarray, path: str, scale: float = 256.0):
     cv2.imwrite(path, out)
 
 
-def save_colored(depth: np.ndarray, path: str, cmap="Spectral_r", vmin=None, vmax=None):
+def save_colored(depth: np.ndarray, path: str, cmap="Spectral_r", vmin=None,
+                 vmax=None, vminp=0, vmaxp=100):
+    """Tester-style colored dump: full-range percentiles like the
+    reference's colorize(..., vminp=0, vmaxp=100) calls (tester.py:78-82)."""
     import cv2
 
-    img = colorize(depth, vmin=vmin, vmax=vmax, cmap=cmap)
+    img = colorize(depth, vmin=vmin, vmax=vmax, cmap=cmap, vminp=vminp, vmaxp=vmaxp)
     cv2.imwrite(path, cv2.cvtColor(img[..., :3], cv2.COLOR_RGB2BGR))
