@@ -30,14 +30,27 @@ class Tester:
         dataloader,
         work_dir: str = "./work_dir",
         save: bool = False,
-        cmap: str = "Spectral_r",
+        cmap: str | None = None,
+        gray_scale: bool = False,
     ):
         self.config = config
         self.model = model
         self.dataloader = dataloader
         self.work_dir = work_dir
         self.save = save
-        self.cmap = cmap
+        self.gray_scale = gray_scale
+        # reference colormap policy (tester.py:72-86): gray_r when
+        # gray_scale (default 2/95 percentiles), magma_r full-range on
+        # cityscapes, Spectral full-range otherwise
+        if cmap is not None:
+            self.cmap = cmap
+        elif gray_scale:
+            self.cmap = "gray_r"
+        else:
+            ds_name = getattr(
+                getattr(dataloader, "dataset", None), "dataset_name", ""
+            )
+            self.cmap = "magma_r" if ds_name == "cityscapes" else "Spectral"
         os.makedirs(work_dir, exist_ok=True)
 
     def run(
@@ -69,7 +82,10 @@ class Tester:
             depth = np.asarray(depth)
             name = batch.get("img_file_basename", [f"img_{i:05d}"])[0]
             if self.save:
-                save_colored(depth, os.path.join(self.work_dir, f"{name}.png"), self.cmap)
+                kw = {"vminp": 2, "vmaxp": 95} if self.gray_scale else {}
+                save_colored(
+                    depth, os.path.join(self.work_dir, f"{name}.png"), self.cmap, **kw
+                )
                 save_raw_16bit(depth, os.path.join(self.work_dir, f"{name}_uint16.png"))
 
             if "depth_gt" in batch and dataset is not None and hasattr(dataset, "get_metrics"):

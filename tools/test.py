@@ -76,7 +76,8 @@ def main():
     loader = DataLoader(dataset, batch_size=1, shuffle=False,
                         process_index=jax.process_index(), process_count=jax.process_count())
 
-    tester = Tester(cfg, model, loader, work_dir=args.work_dir, save=args.save)
+    tester = Tester(cfg, model, loader, work_dir=args.work_dir, save=args.save,
+                    gray_scale=args.gray_scale)
     if args.test_type == "benchmark":
         # fps + FLOPs/params on the first image (Tester.benchmark,
         # reference tester.py:325-404 incl. benchmark.txt + complexity)
