@@ -62,6 +62,9 @@ class PatchRefinerSemi:
             if model_cfg_teacher is not None
             else None
         )
+        # consumed by utils.checkpoint.apply_config_pretrained (the
+        # reference loads it in __init__, patchrefiner_semi.py:85-94)
+        self.teacher_pretrain = teacher_pretrain
         self.edge_loss_weight = edge_loss_weight
         self.edgeloss_cfg = ConfigDict._wrap(edgeloss or {})
         self.edgeloss = build_model(edgeloss) if edgeloss else None

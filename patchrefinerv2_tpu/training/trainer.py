@@ -83,6 +83,11 @@ class Trainer:
         total_steps = self.max_epochs * steps_per_epoch
         rng = jax.random.PRNGKey(int(config.get("seed", 0)))
         variables = model.init(rng)
+        # reference-style in-config checkpoint loading (pretrain_coarse_model
+        # / pretrained / whole_pretrained, patchrefinerplus.py:105-205)
+        from patchrefinerv2_tpu.utils.checkpoint import apply_config_pretrained
+
+        variables = apply_config_pretrained(model, variables)
         params = variables["params"]
         batch_stats = variables.get("batch_stats")
 

@@ -366,6 +366,155 @@ def convert_timm_convnext(
     return {"params": params}
 
 
+def _conv_wb(g, base, dst, path, bias=True):
+    _set(dst, path + ["kernel"], t2f_conv(g(base + ".weight")))
+    if bias:
+        _set(dst, path + ["bias"], g(base + ".bias"))
+
+
+def convert_zoedepth_head(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
+    """ZoeDepth metric-bins head keys -> backbones/zoedepth.ZoeDepthHead
+    (zoedepth_v1.py attribute names: conv2, seed_bin_regressor._net.{0,2},
+    seed_projector._net, projectors.{i}._net, attractors.{i}._net,
+    conditional_log_binomial.mlp.{0,2})."""
+    g = lambda k: np.asarray(sd[prefix + k])
+    has = lambda k: (prefix + k) in sd
+    params: Dict[str, Any] = {}
+    _conv_wb(g, "conv2", params, ["conv2"])
+
+    def seq(base, name):
+        node: Dict[str, Any] = {}
+        _conv_wb(g, base + "._net.0", node, ["Conv_0"])
+        _conv_wb(g, base + "._net.2", node, ["Conv_1"])
+        params[name] = node
+
+    seq("seed_bin_regressor", "seed_bin_regressor")
+    seq("seed_projector", "seed_projector")
+    i = 0
+    while has(f"projectors.{i}._net.0.weight"):
+        seq(f"projectors.{i}", f"projector{i}")
+        seq(f"attractors.{i}", f"attractor{i}")
+        i += 1
+    clb: Dict[str, Any] = {}
+    _conv_wb(g, "conditional_log_binomial.mlp.0", clb, ["Conv_0"])
+    _conv_wb(g, "conditional_log_binomial.mlp.2", clb, ["Conv_1"])
+    params["conditional_log_binomial"] = clb
+    return params
+
+
+def convert_zoedepth(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
+    """Full ZoeDepth (BEiT MiDaS core + bins head) -> our ZoeDepthBEiT tree
+    ({core: MidasDPTBEiT, head: ZoeDepthHead}). ``prefix`` is the nesting
+    inside an estimator checkpoint (e.g. 'coarse_branch.'). Each half is
+    converted only when its keys are present (partial save dicts)."""
+    out: Dict[str, Any] = {}
+    if any(k.startswith(prefix + "core.core.") for k in sd):
+        out["core"] = convert_beit_midas(sd, prefix + "core.core.")
+    if any(k.startswith(prefix + "conv2.") for k in sd):
+        out["head"] = convert_zoedepth_head(sd, prefix)
+    return out
+
+
+def _gated_conv_unit(g, base):
+    """GateresConfUnit -> GatedConvUnit (bi_directional_fusion_model.py:26-82:
+    conv 3x3, fusion_conv = [conv3x3, LayerNorm, act, conv1x1])."""
+    node: Dict[str, Any] = {}
+    _conv_wb(g, base + ".conv", node, ["Conv_0"])
+    _conv_wb(g, base + ".fusion_conv.0", node, ["Conv_1"])
+    _set(node, ["LayerNorm_0", "scale"], g(base + ".fusion_conv.1.weight"))
+    _set(node, ["LayerNorm_0", "bias"], g(base + ".fusion_conv.1.bias"))
+    _set(node, ["Conv_2", "kernel"], t2f_conv(g(base + ".fusion_conv.3.weight")))
+    return node
+
+
+def _gated_fusion_block(sd, g, base, single_input=False):
+    """GatedFusionBlock: GateresConfUnit1 is the skip-input unit (flax
+    GatedConvUnit_0 on two-input blocks; DEAD weight on single-input blocks,
+    where GateresConfUnit2 is the only instantiated unit)."""
+    out: Dict[str, Any] = {}
+    if single_input:
+        out["GatedConvUnit_0"] = _gated_conv_unit(g, base + ".GateresConfUnit2")
+    else:
+        out["GatedConvUnit_0"] = _gated_conv_unit(g, base + ".GateresConfUnit1")
+        out["GatedConvUnit_1"] = _gated_conv_unit(g, base + ".GateresConfUnit2")
+    _conv_wb(g, base + ".out_conv", out, ["Conv_0"])
+    return out
+
+
+def _single_conv_cnnln(g, base):
+    """SingleConvCNNLN: single_conv = [conv3x3 no-bias, LayerNorm, GELU]."""
+    node: Dict[str, Any] = {}
+    _set(node, ["Conv_0", "kernel"], t2f_conv(g(base + ".single_conv.0.weight")))
+    _set(node, ["LayerNorm_0", "scale"], g(base + ".single_conv.1.weight"))
+    _set(node, ["LayerNorm_0", "bias"], g(base + ".single_conv.1.bias"))
+    return node
+
+
+def convert_bidirectional_fusion(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
+    """BiDirectionalFusion state dict (bi_directional_fusion_model.py:289-446)
+    -> models/blocks/fusion.BiDirectionalFusion params. Covers the C2F
+    decoder (coarse-gated/fusion variants), the fusion1/fusion2 encoders,
+    the f2r_agg UpSample decoder and final_conv."""
+    g = lambda k: np.asarray(sd[prefix + k])
+    has = lambda k: (prefix + k) in sd
+    params: Dict[str, Any] = {}
+
+    if has("c2f.scratch.layer1_rn.weight"):
+        c2f: Dict[str, Any] = {"Scratch_0": {}}
+        for k in range(1, 6):
+            _set(c2f, ["Scratch_0", f"layer{k}_rn", "kernel"],
+                 t2f_conv(g(f"c2f.scratch.layer{k}_rn.weight")))
+        for k in range(1, 6):
+            c2f[f"refinenet{k}"] = _gated_fusion_block(
+                sd, g, f"c2f.scratch.refinenet{k}", single_input=(k == 5)
+            )
+        _conv_wb(g, "c2f.scratch.output_conv1", c2f, ["output_conv1"])
+        _conv_wb(g, "c2f.scratch.output_conv2.0", c2f, ["output_conv2"])
+        c2f["output_conv2_fusion"] = _gated_fusion_block(
+            sd, g, "c2f.scratch.output_conv2_fusion", single_input=True
+        )
+        _conv_wb(g, "c2f.scratch.output_conv3.0", c2f, ["output_conv3"])
+        params["c2f"] = c2f
+
+    i = 0
+    while has(f"fusion_layers_1.{i}.single_conv.0.weight"):
+        params[f"fusion1_{i}"] = _single_conv_cnnln(g, f"fusion_layers_1.{i}")
+        params[f"fusion2_{i}"] = _single_conv_cnnln(g, f"fusion_layers_2.{i}")
+        i += 1
+    i = 0
+    while has(f"f2r_agg.{i}.conv.double_conv.0.weight"):
+        dc: Dict[str, Any] = {}
+        _set(dc, ["Conv_0", "kernel"], t2f_conv(g(f"f2r_agg.{i}.conv.double_conv.0.weight")))
+        _set(dc, ["Conv_1", "kernel"], t2f_conv(g(f"f2r_agg.{i}.conv.double_conv.2.weight")))
+        params[f"f2r_agg_{i}"] = {"DoubleConv_0": dc}
+        i += 1
+    _set(params, ["final_conv", "kernel"], t2f_conv(g("final_conv.weight")))
+    return params
+
+
+def convert_patchrefinerplus(sd: Dict[str, np.ndarray]) -> dict:
+    """Full PatchRefinerPlus estimator checkpoint -> this framework's
+    variables ({params, batch_stats}) for PRPlusNet (submodule names
+    coarse/fine/fusion; patchrefinerplus.py save-dict attribute names
+    coarse_branch / refiner_fine_branch / refiner_fusion_model).
+
+    Tolerant to partial dicts (get_save_dict variants drop the frozen
+    coarse): missing families are simply absent from the output; graft
+    with utils.checkpoint.merge_pretrained (strict=False semantics).
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    if any(k.startswith("coarse_branch.") for k in sd):
+        params["coarse"] = convert_zoedepth(sd, "coarse_branch.")
+    if any(k.startswith("refiner_fine_branch.refiner_encoder.") for k in sd):
+        enc = convert_timm_mbnet(sd, "refiner_fine_branch.refiner_encoder.")
+        params["fine"] = {"refiner_encoder": enc["params"]}
+        stats["fine"] = {"refiner_encoder": enc["batch_stats"]}
+    if any(k.startswith("refiner_fusion_model.") for k in sd):
+        params["fusion"] = convert_bidirectional_fusion(sd, "refiner_fusion_model.")
+    return {"params": params, "batch_stats": stats}
+
+
 def insert_converted(params: dict, subtree: dict, path: tuple[str, ...]) -> dict:
     """Graft a converted subtree at path, verifying leaf shapes."""
     import copy

@@ -1,0 +1,68 @@
+"""The reference's staged-training checkpoint flow: in-config keys
+(pretrain_coarse_model / pretrained / load_whole / whole_pretrained,
+patchrefinerplus.py:105-205) must restore the matching subtrees at build
+time via utils.checkpoint.apply_config_pretrained."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from patchrefinerv2_tpu.registry import MODELS
+from patchrefinerv2_tpu.utils.checkpoint import (
+    apply_config_pretrained,
+    load_checkpoint,
+    save_checkpoint,
+)
+from tests.test_models import tiny_config
+
+
+def _tree_equal(a, b):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    return len(la) == len(lb) and all(
+        np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(la, lb)
+    )
+
+
+def test_pretrain_coarse_model_and_pretrained(tmp_path):
+    cfg = dict(tiny_config())
+    base = MODELS.build(dict(type="PatchRefinerPlus", config=dict(cfg)))
+    v_src = base.init(jax.random.PRNGKey(7))
+
+    # stage-1 artifact: a coarse-pretrain checkpoint (branch tree at root,
+    # like BaselinePretrain.save)
+    coarse_ckpt = tmp_path / "coarse_ck"
+    save_checkpoint(str(coarse_ckpt), {"params": v_src["params"]["coarse"]})
+    # stage-2 artifact: a full PRPlusNet checkpoint (m0s1-style)
+    whole_ckpt = tmp_path / "whole_ck"
+    save_checkpoint(str(whole_ckpt), {"params": v_src["params"]})
+
+    cfg2 = dict(cfg)
+    cfg2["pretrain_coarse_model"] = str(coarse_ckpt)
+    model = MODELS.build(dict(type="PatchRefinerPlus", config=cfg2))
+    v = model.init(jax.random.PRNGKey(0))
+    assert not _tree_equal(v["params"]["coarse"], v_src["params"]["coarse"])
+    v = apply_config_pretrained(model, v)
+    assert _tree_equal(v["params"]["coarse"], v_src["params"]["coarse"])
+    # other families untouched (different seed -> different values)
+    assert not _tree_equal(v["params"]["fusion"], v_src["params"]["fusion"])
+
+    # 'pretrained' with load_whole=False must NOT touch the coarse branch
+    cfg3 = dict(cfg)
+    cfg3["pretrained"] = str(whole_ckpt)
+    cfg3["load_whole"] = False
+    model3 = MODELS.build(dict(type="PatchRefinerPlus", config=cfg3))
+    v3 = model3.init(jax.random.PRNGKey(1))
+    coarse_before = v3["params"]["coarse"]
+    v3 = apply_config_pretrained(model3, v3)
+    assert _tree_equal(v3["params"]["fusion"], v_src["params"]["fusion"])
+    assert _tree_equal(v3["params"]["coarse"], coarse_before)
+
+    # missing path: silently keeps the random init
+    cfg4 = dict(cfg)
+    cfg4["pretrained"] = str(tmp_path / "does_not_exist")
+    model4 = MODELS.build(dict(type="PatchRefinerPlus", config=cfg4))
+    v4 = model4.init(jax.random.PRNGKey(2))
+    v4b = apply_config_pretrained(model4, v4)
+    assert _tree_equal(v4["params"], v4b["params"])

@@ -27,6 +27,7 @@ from patchrefinerv2_tpu.utils.torch_convert import (
     convert_beit_midas,
     convert_da2,
     convert_dino_vit,
+    convert_patchrefinerplus,
     convert_timm_convnext,
     convert_timm_mbnet,
     load_torch_state_dict,
@@ -39,7 +40,8 @@ def main():
     p.add_argument("output")
     p.add_argument(
         "--kind",
-        choices=["da2", "dino_vit", "beit_midas", "timm_mbnet", "timm_convnext"],
+        choices=["da2", "dino_vit", "beit_midas", "timm_mbnet", "timm_convnext",
+                 "estimator"],
         default="da2",
     )
     p.add_argument("--prefix", default=None)
@@ -58,6 +60,10 @@ def main():
         tree = convert_timm_convnext(
             sd, args.prefix or "", in_ch=args.in_ch, v2=not args.v1
         )
+    elif args.kind == "estimator":
+        # full PatchRefinerPlus save dict (coarse_branch ZoeDepth + bins
+        # head, refiner_fine_branch timm encoder, refiner_fusion_model)
+        tree = convert_patchrefinerplus(sd)
     else:
         tree = {"params": convert_dino_vit(sd, args.prefix or "pretrained.")}
     save_checkpoint(args.output, tree)

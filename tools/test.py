@@ -57,6 +57,9 @@ def main():
     if args.patch_split_num is None:
         args.patch_split_num = list(model.tile_cfg.patch_split_num)
     variables = model.init(jax.random.PRNGKey(0))
+    from patchrefinerv2_tpu.utils.checkpoint import apply_config_pretrained
+
+    variables = apply_config_pretrained(model, variables)
     if args.ckp_path:
         ckpt = load_checkpoint(args.ckp_path)
         params = merge_pretrained(variables["params"], ckpt["params"])
