@@ -492,6 +492,42 @@ def convert_bidirectional_fusion(sd: Dict[str, np.ndarray], prefix: str = "") ->
     return params
 
 
+def convert_fusion_unet(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
+    """V1 FusionUnet (fusion_model.py:52-123: encoder_layers_1/2
+    SingleConvCNNLN lists, decoder_layers UpSample list, final_conv) ->
+    models/blocks/fusion.FusionUnet params."""
+    g = lambda k: np.asarray(sd[prefix + k])
+    has = lambda k: (prefix + k) in sd
+    params: Dict[str, Any] = {}
+    i = 0
+    while has(f"encoder_layers_1.{i}.single_conv.0.weight"):
+        params[f"enc1_{i}"] = _single_conv_cnnln(g, f"encoder_layers_1.{i}")
+        params[f"enc2_{i}"] = _single_conv_cnnln(g, f"encoder_layers_2.{i}")
+        i += 1
+    i = 0
+    while has(f"decoder_layers.{i}.conv.double_conv.0.weight"):
+        dc: Dict[str, Any] = {}
+        _set(dc, ["Conv_0", "kernel"], t2f_conv(g(f"decoder_layers.{i}.conv.double_conv.0.weight")))
+        _set(dc, ["Conv_1", "kernel"], t2f_conv(g(f"decoder_layers.{i}.conv.double_conv.2.weight")))
+        params[f"dec_{i}"] = {"DoubleConv_0": dc}
+        i += 1
+    _set(params, ["final_conv", "kernel"], t2f_conv(g("final_conv.weight")))
+    return params
+
+
+def convert_patchrefiner(sd: Dict[str, np.ndarray]) -> dict:
+    """PatchRefiner V1 estimator checkpoint (patchrefiner.py: coarse and
+    fine branches BOTH full ZoeDepth, FusionUnet head) -> our variables."""
+    params: Dict[str, Any] = {}
+    if any(k.startswith("coarse_branch.") for k in sd):
+        params["coarse"] = convert_zoedepth(sd, "coarse_branch.")
+    if any(k.startswith("refiner_fine_branch.core.core.") for k in sd):
+        params["fine"] = {"inner": convert_zoedepth(sd, "refiner_fine_branch.")}
+    if any(k.startswith("refiner_fusion_model.encoder_layers_1.") for k in sd):
+        params["fusion"] = convert_fusion_unet(sd, "refiner_fusion_model.")
+    return {"params": params, "batch_stats": {}}
+
+
 def convert_patchrefinerplus(sd: Dict[str, np.ndarray]) -> dict:
     """Full PatchRefinerPlus estimator checkpoint -> this framework's
     variables ({params, batch_stats}) for PRPlusNet (submodule names
