@@ -187,3 +187,106 @@ def test_feature_fusion_block_matches_reference_transcription():
     np.testing.assert_allclose(
         np.asarray(got1), ref1.numpy().transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-3
     )
+
+
+def test_simple_dpt_head_matches_reference_transcription():
+    """SimpleDPTHead (lightweight_refiner.py:61-140): scratch projections,
+    plain FeatureFusionBlock chain, conv->relu32->1x1 head, feats list."""
+    from patchrefinerv2_tpu.models.blocks.dpt import SimpleDPTHead
+
+    rng = np.random.RandomState(2)
+    sizes = [(16, 20), (8, 10), (4, 5), (2, 3), (1, 2)]
+    fine = [rng.randn(1, h, w, FEAT).astype(np.float32) for h, w in sizes]
+
+    mod = SimpleDPTHead(features=FEAT)
+    variables = mod.init(jax.random.PRNGKey(0), [jnp.asarray(f) for f in fine])
+    feats, out = mod.apply(variables, [jnp.asarray(f) for f in fine])
+
+    P = variables["params"]
+    tf = [torch.tensor(f.transpose(0, 3, 1, 2)) for f in fine]
+    with torch.no_grad():
+        rn = [
+            F.conv2d(tf[i], _w(P["Scratch_0"][f"layer{i+1}_rn"]["kernel"]), padding=1)
+            for i in range(5)
+        ]
+        l1, l2, l3, l4, l5 = rn
+        p5 = t_ffb(P["refinenet5"], l5, size=l4.shape[-2:])
+        p4 = t_ffb(P["refinenet4"], p5, l4, size=l3.shape[-2:])
+        p3 = t_ffb(P["refinenet3"], p4, l3, size=l2.shape[-2:])
+        p2 = t_ffb(P["refinenet2"], p3, l2, size=l1.shape[-2:])
+        p1 = t_ffb(P["refinenet1"], p2, l1)
+        o = t_conv(p1, P["output_conv1"])
+        last = F.relu(t_conv(o, P["output_conv2"]))
+        o = F.conv2d(last, _w(P["output_conv3"]["kernel"]), _b(P["output_conv3"]["bias"]))
+        t_feats = [l5, p5, p4, p3, p2, last]
+    np.testing.assert_allclose(
+        np.asarray(out), o.numpy().transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-3
+    )
+    for i, (g, r) in enumerate(zip(feats, t_feats)):
+        np.testing.assert_allclose(
+            np.asarray(g), r.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=1e-3, err_msg=f"feat {i}",
+        )
+
+
+def test_c2f_noenc_matches_reference_transcription():
+    """'only-gate' C2FNOENCModule (bi_directional_fusion_model.py:211-286):
+    per-level gate pairs (fusion conv, no sigmoid gate), transposed-conv
+    upsample stem for the top level."""
+    from patchrefinerv2_tpu.models.blocks.dpt import C2FNOENCModule
+
+    rng = np.random.RandomState(3)
+    sizes = [(8, 10), (4, 5), (2, 3), (2, 3), (1, 2)]
+    fine = [rng.randn(1, h, w, FEAT).astype(np.float32) for h, w in sizes]
+    coarse = [rng.randn(1, 16, 20, 32).astype(np.float32)] + [
+        rng.randn(1, h, w, FEAT).astype(np.float32) for h, w in sizes
+    ]
+
+    mod = C2FNOENCModule(features=FEAT, gate=False, fusion=True)
+    variables = mod.init(
+        jax.random.PRNGKey(0),
+        [jnp.asarray(f) for f in fine],
+        [jnp.asarray(c) for c in coarse],
+    )
+    feats, out = mod.apply(
+        variables,
+        [jnp.asarray(f) for f in fine],
+        [jnp.asarray(c) for c in coarse],
+    )
+    P = variables["params"]
+    tf = [torch.tensor(f.transpose(0, 3, 1, 2)) for f in fine]
+    tc = [torch.tensor(c.transpose(0, 3, 1, 2)) for c in coarse]
+    with torch.no_grad():
+        rn = [
+            F.conv2d(tf[i], _w(P["Scratch_0"][f"layer{i+1}_rn"]["kernel"]), padding=1)
+            for i in range(5)
+        ]
+
+        def gate_pair(x, c, name):
+            x = t_gcu(x, c, P[f"{name}_gate1"], gate=False)
+            return t_gcu(x, c, P[f"{name}_gate2"], gate=False)
+
+        p5 = gate_pair(rn[4], tc[5], "layer1")
+        p4 = gate_pair(rn[3], tc[4], "layer2")
+        p3 = gate_pair(rn[2], tc[3], "layer3")
+        p2 = gate_pair(rn[1], tc[2], "layer4")
+        p1 = gate_pair(rn[0], tc[1], "layer5")
+        # transposed-conv 2x upsample of the raw top fine level
+        wk = np.asarray(P["upsample_convt"]["kernel"])  # flax (kh,kw,I,O)
+        # torch conv_transpose2d flips the kernel; flax ConvTranspose does
+        # not -> flip spatial dims when mapping flax->torch
+        wt = torch.tensor(np.transpose(wk[::-1, ::-1], (2, 3, 0, 1)).copy())
+        l0 = F.conv_transpose2d(tf[0], wt, _b(P["upsample_convt"]["bias"]), stride=2)
+        l0 = F.relu(l0)
+        l0 = F.conv2d(l0, _w(P["upsample_conv"]["kernel"]), padding=1)
+        p0 = gate_pair(l0, tc[0], "layer6")
+        o = t_conv(p0, P["output_conv"])
+        t_feats = [p5, p4, p3, p2, p1, p0]
+    np.testing.assert_allclose(
+        np.asarray(out), o.numpy().transpose(0, 2, 3, 1), atol=2e-4, rtol=1e-3
+    )
+    for i, (g, r) in enumerate(zip(feats, t_feats)):
+        np.testing.assert_allclose(
+            np.asarray(g), r.numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, rtol=1e-3, err_msg=f"feat {i}",
+        )
