@@ -244,7 +244,9 @@ class MidasDPTBEiT(nn.Module):
             elif i == 1:
                 h = nn.ConvTranspose(self.out_channels[1], (2, 2), strides=(2, 2), name="resize1")(h)
             elif i == 3:
-                h = nn.Conv(self.out_channels[3], (3, 3), strides=(2, 2), name="resize3")(h)
+                # torch pads k//2 both sides on this stride-2 conv
+                h = nn.Conv(self.out_channels[3], (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), name="resize3")(h)
             levels.append(h)
 
         l1, l2, l3, l4 = levels

@@ -58,8 +58,10 @@ class DPTHead(nn.Module):
                     self.out_channels[1], (2, 2), strides=(2, 2), name="resize1"
                 )(x)
             elif i == 3:
+                # torch pads k//2 both sides on this stride-2 conv
                 x = nn.Conv(
-                    self.out_channels[3], (3, 3), strides=(2, 2), name="resize3"
+                    self.out_channels[3], (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), name="resize3"
                 )(x)
             levels.append(x)
 

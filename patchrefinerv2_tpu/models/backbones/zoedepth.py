@@ -225,7 +225,9 @@ class DPTRelHead(nn.Module):
             elif i == 1:
                 x = nn.ConvTranspose(self.out_channels[1], (2, 2), strides=(2, 2), name="resize1")(x)
             elif i == 3:
-                x = nn.Conv(self.out_channels[3], (3, 3), strides=(2, 2), name="resize3")(x)
+                # torch pads k//2 both sides on this stride-2 conv
+                x = nn.Conv(self.out_channels[3], (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)), name="resize3")(x)
             levels.append(x)
         l1, l2, l3, l4 = levels
         l1rn = nn.Conv(self.features, (3, 3), use_bias=False, name="layer1_rn")(l1)
