@@ -380,7 +380,8 @@ def convert_zoedepth_head(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
     g = lambda k: np.asarray(sd[prefix + k])
     has = lambda k: (prefix + k) in sd
     params: Dict[str, Any] = {}
-    _conv_wb(g, "conv2", params, ["conv2"])
+    if has("conv2.weight"):  # PatchFusion's re-run head has no btlnck conv
+        _conv_wb(g, "conv2", params, ["conv2"])
 
     def seq(base, name):
         node: Dict[str, Any] = {}
@@ -526,6 +527,122 @@ def convert_patchrefiner(sd: Dict[str, np.ndarray]) -> dict:
     if any(k.startswith("refiner_fusion_model.encoder_layers_1.") for k in sd):
         params["fusion"] = convert_fusion_unet(sd, "refiner_fusion_model.")
     return {"params": params, "batch_stats": {}}
+
+
+def _dconv_wobn(g, base):
+    """DoubleConvWOBN: double_conv = [conv3x3, ReLU, conv3x3, ReLU]."""
+    node: Dict[str, Any] = {}
+    _conv_wb(g, base + ".double_conv.0", node, ["Conv_0"])
+    _conv_wb(g, base + ".double_conv.2", node, ["Conv_1"])
+    return node
+
+
+def _dconv_bn(g, base, params_path, params, stats):
+    """DoubleConv (BN variant): [conv, BN, ReLU, conv, BN, ReLU]."""
+    node: Dict[str, Any] = {}
+    snode: Dict[str, Any] = {}
+    _set(node, ["Conv_0", "kernel"], t2f_conv(g(base + ".double_conv.0.weight")))
+    _set(node, ["Conv_1", "kernel"], t2f_conv(g(base + ".double_conv.3.weight")))
+    for bi, flax_bn in ((1, "BatchNorm_0"), (4, "BatchNorm_1")):
+        _set(node, [flax_bn, "scale"], g(f"{base}.double_conv.{bi}.weight"))
+        _set(node, [flax_bn, "bias"], g(f"{base}.double_conv.{bi}.bias"))
+        _set(snode, [flax_bn, "mean"], g(f"{base}.double_conv.{bi}.running_mean"))
+        _set(snode, [flax_bn, "var"], g(f"{base}.double_conv.{bi}.running_var"))
+    _set(params, params_path, node)
+    _set(stats, params_path, snode)
+
+
+def _g2l_fusion(sd, g, base):
+    """G2LFusion (swin_layers.py:360-431): embed_proj 1x1 + absolute pos
+    embed + swin blocks (g2l_layer.blocks.{i}) + final g2l_layer_norm."""
+    node: Dict[str, Any] = {}
+    if (base + ".proj_x.weight") in sd:
+        _conv_wb(lambda k: np.asarray(sd[k]), base + ".proj_x", node, ["proj_x"])
+    # embed_proj is DEAD weight in the reference (applied only when an
+    # area_prior is passed; PatchFusion never passes one,
+    # patchfusion.py:279-287) — dropped like resConfUnit1
+    node["absolute_pos_embed"] = np.asarray(sd[base + ".absolute_pos_embed"])
+    i = 0
+    while (base + f".g2l_layer.blocks.{i}.norm1.weight") in sd:
+        b = base + f".g2l_layer.blocks.{i}"
+        gg = lambda k: np.asarray(sd[b + k])
+        blk: Dict[str, Any] = {}
+        _set(blk, ["norm1", "scale"], gg(".norm1.weight"))
+        _set(blk, ["norm1", "bias"], gg(".norm1.bias"))
+        _set(blk, ["norm2", "scale"], gg(".norm2.weight"))
+        _set(blk, ["norm2", "bias"], gg(".norm2.bias"))
+        _set(blk, ["attn", "qkv", "kernel"], t2f_linear(gg(".attn.qkv.weight")))
+        _set(blk, ["attn", "qkv", "bias"], gg(".attn.qkv.bias"))
+        _set(blk, ["attn", "proj", "kernel"], t2f_linear(gg(".attn.proj.weight")))
+        _set(blk, ["attn", "proj", "bias"], gg(".attn.proj.bias"))
+        _set(blk, ["attn", "relative_position_bias_table"],
+             gg(".attn.relative_position_bias_table"))
+        _set(blk, ["fc1", "kernel"], t2f_linear(gg(".mlp.fc1.weight")))
+        _set(blk, ["fc1", "bias"], gg(".mlp.fc1.bias"))
+        _set(blk, ["fc2", "kernel"], t2f_linear(gg(".mlp.fc2.weight")))
+        _set(blk, ["fc2", "bias"], gg(".mlp.fc2.bias"))
+        node[f"block{i}"] = blk
+        i += 1
+    _set(node, ["g2l_layer_norm", "scale"], np.asarray(sd[base + ".g2l_layer_norm.weight"]))
+    _set(node, ["g2l_layer_norm", "bias"], np.asarray(sd[base + ".g2l_layer_norm.bias"]))
+    return node
+
+
+def convert_guided_fusion(sd: Dict[str, np.ndarray], prefix: str = "") -> dict:
+    """GuidedFusionPatchFusion (guided_fusion_model.py:101-191) -> our
+    models/blocks/guided_fusion tree ({params, batch_stats})."""
+    g = lambda k: np.asarray(sd[prefix + k])
+    has = lambda k: (prefix + k) in sd
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    _dconv_bn(g, "inc", ["inc"], params, stats)
+    i = 0
+    while has(f"down_conv_list.{i}.maxpool_conv.1.double_conv.0.weight"):
+        _dconv_bn(
+            g, f"down_conv_list.{i}.maxpool_conv.1",
+            [f"down_list_{i}", "DoubleConvBN_0"], params, stats,
+        )
+        i += 1
+    i = 0
+    while has(f"up_conv_list.{i}.conv.double_conv.0.weight"):
+        params[f"up_list_{i}"] = _dconv_wobn(g, f"up_conv_list.{i}.conv")
+        i += 1
+    i = 0
+    while has(f"g2l_list.{i}.g2l_layer_norm.weight"):
+        params[f"g2l_list_{i}"] = _g2l_fusion(sd, g, f"{prefix}g2l_list.{i}")
+        params[f"conv_list_{i}"] = _dconv_wobn(g, f"convs.{i}")
+        i += 1
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_patchfusion(sd: Dict[str, np.ndarray]) -> dict:
+    """PatchFusion estimator checkpoint (patchfusion.py:56-461: frozen
+    coarse+fine ZoeDepth, 6 fusion concat convs, guided-fusion U-Net with
+    G2L swin, top-level bins-head re-run) -> our variables."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    if any(k.startswith("coarse_branch.") for k in sd):
+        params["coarse"] = convert_zoedepth(sd, "coarse_branch.")
+    if any(k.startswith("fine_branch.") for k in sd):
+        params["fine"] = convert_zoedepth(sd, "fine_branch.")
+    i = 0
+    while f"fusion_conv_list.{i}.weight" in sd:
+        node: Dict[str, Any] = {}
+        _conv_wb(lambda k: np.asarray(sd[k]), f"fusion_conv_list.{i}", node, ["x"])
+        params[f"fusion_conv{i}"] = node["x"]
+        i += 1
+    if any(k.startswith("guided_fusion.") for k in sd):
+        gf = convert_guided_fusion(sd, "guided_fusion.")
+        params["guided_fusion"] = gf["params"]
+        stats["guided_fusion"] = gf["batch_stats"]
+    if "seed_bin_regressor._net.0.weight" in sd:
+        head = convert_zoedepth_head(
+            {k: v for k, v in sd.items() if not k.startswith(("coarse_branch.", "fine_branch."))},
+            prefix="",
+        )
+        head.pop("conv2", None)  # PF's re-run head has no btlnck conv2
+        params["bins_head"] = head
+    return {"params": params, "batch_stats": stats}
 
 
 def convert_patchrefinerplus(sd: Dict[str, np.ndarray]) -> dict:

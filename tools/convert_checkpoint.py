@@ -27,6 +27,7 @@ from patchrefinerv2_tpu.utils.torch_convert import (
     convert_beit_midas,
     convert_da2,
     convert_dino_vit,
+    convert_patchfusion,
     convert_patchrefinerplus,
     convert_timm_convnext,
     convert_timm_mbnet,
@@ -41,7 +42,7 @@ def main():
     p.add_argument(
         "--kind",
         choices=["da2", "dino_vit", "beit_midas", "timm_mbnet", "timm_convnext",
-                 "estimator"],
+                 "estimator", "patchfusion"],
         default="da2",
     )
     p.add_argument("--prefix", default=None)
@@ -64,6 +65,8 @@ def main():
         # full PatchRefinerPlus save dict (coarse_branch ZoeDepth + bins
         # head, refiner_fine_branch timm encoder, refiner_fusion_model)
         tree = convert_patchrefinerplus(sd)
+    elif args.kind == "patchfusion":
+        tree = convert_patchfusion(sd)
     else:
         tree = {"params": convert_dino_vit(sd, args.prefix or "pretrained.")}
     save_checkpoint(args.output, tree)
