@@ -143,3 +143,64 @@ def test_ea_loss_matches_torch():
         )
     )
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_ssi_uncert_matches_torch():
+    """ScaleAndShiftInvariantUncertLoss (losses.py:703-779): closed-form
+    scale/shift + confidence-weighted (1-uncert) stride-2 gradients."""
+    from patchrefinerv2_tpu.models.losses_extra import ScaleAndShiftInvariantUncertLoss
+
+    pred, target, mask = _data(4)
+    rng = np.random.RandomState(5)
+    uncert = rng.rand(*pred.shape).astype(np.float32)
+
+    prediction, tgt, m = torch.tensor(pred), torch.tensor(target), torch.tensor(mask)
+    s, sh = _torch_scale_shift(prediction, tgt, m)
+    sp = s.view(-1, 1, 1) * prediction + sh.view(-1, 1, 1)
+    conf = 1 - torch.tensor(uncert)
+    N = m.sum()
+    d = (sp - tgt) * m
+    v = torch.abs(d[:, 0:-2, :] - d[:, 2:, :]) * (m[:, 0:-2, :] * m[:, 2:, :])
+    v = v * ((conf[:, 0:-2, :] + conf[:, 2:, :]) / 2)
+    h = torch.abs(d[:, :, 0:-2] - d[:, :, 2:]) * (m[:, :, 0:-2] * m[:, :, 2:])
+    h = h * ((conf[:, :, 0:-2] + conf[:, :, 2:]) / 2)
+    ref_gm = float((h.sum() + v.sum()) / N)
+
+    loss = ScaleAndShiftInvariantUncertLoss(grad_matching=True)
+    got = float(
+        loss(
+            jnp.asarray(pred)[..., None], jnp.asarray(target)[..., None],
+            None, jnp.asarray(mask)[..., None], 1e-3, 80.0,
+            jnp.asarray(uncert)[..., None],
+        )
+    )
+    np.testing.assert_allclose(got, ref_gm, rtol=1e-4)
+
+
+def test_edge_cls_loss_matches_torch_formulas():
+    """EdgeClsLoss (losses.py:183-204): kornia-style multiclass dice +
+    focal over 2-class probabilities."""
+    from patchrefinerv2_tpu.models.losses_extra import EdgeClsLoss
+
+    rng = np.random.RandomState(6)
+    b, h, w = 2, 12, 16
+    logits = rng.randn(b, h, w, 2).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    labels = (rng.rand(b, h, w) > 0.5).astype(np.int32)
+
+    # torch/kornia transcription
+    tp = torch.tensor(probs)
+    tl = torch.tensor(labels).long()
+    onehot = F.one_hot(tl, 2).float()
+    dims = (1, 2)
+    inter = (tp * onehot).sum(dims)
+    card = (tp + onehot).sum(dims)
+    ref_dice = float((1.0 - 2.0 * inter / (card + 1e-8)).mean())
+    logp = torch.log(tp.clamp(1e-8, 1.0))
+    focal = -0.5 * (1 - tp) ** 2.0 * logp
+    ref_focal = float((onehot * focal).sum(-1).mean())
+
+    loss = EdgeClsLoss(focal_weight=0.5)
+    dice, focal_got = loss(jnp.asarray(probs), jnp.asarray(labels))
+    np.testing.assert_allclose(float(dice), ref_dice, rtol=1e-4)
+    np.testing.assert_allclose(float(focal_got), ref_focal, rtol=1e-4)
