@@ -116,3 +116,30 @@ def test_twoway_transformer_matches_reference_transcription():
     np.testing.assert_allclose(
         np.asarray(gk), keys.numpy().reshape(2, 5, 6, DIM), atol=2e-4, rtol=1e-3
     )
+
+
+def test_position_embedding_random_matches_torch():
+    """PositionEmbeddingRandom (position_embedding.py:28-76): grid coords
+    (cumsum-0.5)/dim -> 2x-1 -> gaussian projection -> [sin, cos]."""
+    from patchrefinerv2_tpu.models.blocks.transformers import PositionEmbeddingRandom
+
+    h, w, nf = 6, 8, 16
+    mod = PositionEmbeddingRandom(num_pos_feats=nf)
+    variables = mod.init(jax.random.PRNGKey(0), (h, w))
+    got = mod.apply(variables, (h, w))  # (h, w, 2*nf)
+
+    gauss = torch.tensor(
+        np.asarray(variables["params"]["positional_encoding_gaussian_matrix"])
+    )
+    grid = torch.ones((h, w))
+    y = (grid.cumsum(0) - 0.5) / h
+    x = (grid.cumsum(1) - 0.5) / w
+    coords = 2 * torch.stack([x, y], dim=-1) - 1
+    proj = 2 * np.pi * (coords @ gauss)
+    ref = torch.cat([proj.sin(), proj.cos()], dim=-1)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5, rtol=1e-4)
+
+    # pe_type='none' -> zeros (position_embedding.py:55-57)
+    mod0 = PositionEmbeddingRandom(num_pos_feats=nf, pe_type="none")
+    v0 = mod0.init(jax.random.PRNGKey(1), (h, w))
+    assert not np.asarray(mod0.apply(v0, (h, w))).any()
