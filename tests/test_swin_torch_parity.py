@@ -71,3 +71,83 @@ def test_window_attention_matches_reference_transcription():
     with torch.no_grad():
         ref_m = t_window_attention(P, torch.tensor(x), mask)
     np.testing.assert_allclose(np.asarray(got_m), ref_m.numpy(), atol=2e-4, rtol=1e-3)
+
+
+def test_g2l_fusion_matches_reference_transcription():
+    """G2LFusion wrapper (swin_layers.py:360-431): absolute pos embed add,
+    depth swin blocks (alternating shift ws//2), final LayerNorm. Window
+    attention itself is verified above; this pins the wrapper chain
+    (window partition/reverse, padding, shift masks) numerically."""
+    import torch.nn.functional as Ft
+    from patchrefinerv2_tpu.models.blocks.swin import G2LFusion, _shift_attn_mask
+
+    h, w = 7, 9  # ragged -> exercises window padding
+    mod = G2LFusion(
+        input_dim=DIM, embed_dim=DIM, window_size=WS, num_heads=HEADS,
+        depth=2, num_patches=h * w,
+    )
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, h, w, DIM).astype(np.float32)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    P = variables["params"]
+    got = mod.apply(variables, jnp.asarray(x))
+
+    def window_partition(t, ws):  # torch NHWC (1, H, W, C)
+        B, H, W, C = t.shape
+        t = t.view(B, H // ws, ws, W // ws, ws, C)
+        return t.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+
+    def window_reverse(wins, ws, B, H, W, C):
+        t = wins.view(B, H // ws, W // ws, ws, ws, C)
+        return t.permute(0, 1, 3, 2, 4, 5).reshape(B, H, W, C)
+
+    with torch.no_grad():
+        t = torch.tensor(x)
+        ape = torch.tensor(np.asarray(P["absolute_pos_embed"])).view(1, h, w, DIM)
+        t = t + ape
+        for i in range(2):
+            BP = P[f"block{i}"]
+            shift = 0 if i % 2 == 0 else WS // 2
+            shortcut = t
+            y = Ft.layer_norm(
+                t, (DIM,),
+                torch.tensor(np.asarray(BP["norm1"]["scale"])),
+                torch.tensor(np.asarray(BP["norm1"]["bias"])),
+            )
+            pad_b = (WS - h % WS) % WS
+            pad_r = (WS - w % WS) % WS
+            y = Ft.pad(y, (0, 0, 0, pad_r, 0, pad_b))
+            hp, wp = h + pad_b, w + pad_r
+            if shift:
+                y = torch.roll(y, (-shift, -shift), dims=(1, 2))
+                mask = np.asarray(_shift_attn_mask(hp, wp, WS, shift))
+            else:
+                mask = None
+            wins = window_partition(y, WS)
+            wins = t_window_attention(BP["attn"], wins, mask)
+            y = window_reverse(wins, WS, 1, hp, wp, DIM)
+            if shift:
+                y = torch.roll(y, (shift, shift), dims=(1, 2))
+            y = y[:, :h, :w]
+            t = shortcut + y
+            z = Ft.layer_norm(
+                t, (DIM,),
+                torch.tensor(np.asarray(BP["norm2"]["scale"])),
+                torch.tensor(np.asarray(BP["norm2"]["bias"])),
+            )
+            z = Ft.linear(
+                z, torch.tensor(np.asarray(BP["fc1"]["kernel"]).T),
+                torch.tensor(np.asarray(BP["fc1"]["bias"])),
+            )
+            z = Ft.gelu(z)
+            z = Ft.linear(
+                z, torch.tensor(np.asarray(BP["fc2"]["kernel"]).T),
+                torch.tensor(np.asarray(BP["fc2"]["bias"])),
+            )
+            t = t + z
+        t = Ft.layer_norm(
+            t, (DIM,),
+            torch.tensor(np.asarray(P["g2l_layer_norm"]["scale"])),
+            torch.tensor(np.asarray(P["g2l_layer_norm"]["bias"])),
+        )
+    np.testing.assert_allclose(np.asarray(got), t.numpy(), atol=2e-4, rtol=1e-3)
