@@ -208,3 +208,65 @@ def test_transforms_contract():
 
     r = resize_hwc(img, (32, 48))
     assert r.shape == (32, 48, 3)
+
+
+def test_scannet_depth_scale_and_shapes(tmp_path):
+    from patchrefinerv2_tpu.datasets.scannet import ScanNetDataset
+
+    rng = np.random.RandomState(7)
+    h, w = 144, 192  # small stand-in for 1440x1920 (same aspect)
+    img = rng.randint(0, 255, (h, w, 3), np.uint8)
+    depth_mm = (rng.uniform(0.3, 9.5, (h, w)) * 1000).astype(np.uint16)
+    _write_png(str(tmp_path / "img" / "s.png"), img)
+    _write_png(str(tmp_path / "gt" / "s.png"), depth_mm)
+    split = tmp_path / "split.txt"
+    split.write_text("img/s.png gt/s.png\n")
+
+    ds = ScanNetDataset(
+        mode="infer",
+        split=str(split),
+        data_root=str(tmp_path),
+        min_depth=1e-3,
+        max_depth=10,
+        transform_cfg=dict(
+            network_process_size=[384, 512], image_raw_shape=[h, w]
+        ),
+    )
+    s = ds[0]
+    assert s["image_hr"].shape == (h, w, 3)
+    # depth png is millimetres / 1000 (scannet_dataset.py depth_scale)
+    np.testing.assert_allclose(
+        s["depth_gt"][..., 0], depth_mm.astype(np.float32) / 1000.0, atol=1e-6
+    )
+    assert s["image_lr"].shape == (384, 512, 3)
+
+
+def test_eth3d_float32_raw_depth(tmp_path):
+    from patchrefinerv2_tpu.datasets.eth3d import ETHDataset
+
+    rng = np.random.RandomState(8)
+    h, w = 126, 189  # small stand-in for 4032x6048 (same aspect)
+    img = rng.randint(0, 255, (h, w, 3), np.uint8)
+    depth = rng.uniform(0.5, 60.0, (h, w)).astype(np.float32)
+    depth[0, 0] = np.inf  # raw blobs carry inf at missing rays
+    _write_png(str(tmp_path / "img" / "e.png"), img)
+    (tmp_path / "gt").mkdir()
+    depth.tofile(tmp_path / "gt" / "e.raw")
+    split = tmp_path / "split.txt"
+    split.write_text("img/e.png gt/e.raw\n")
+
+    ds = ETHDataset(
+        mode="infer",
+        split=str(split),
+        data_root=str(tmp_path),
+        min_depth=1e-3,
+        max_depth=80,
+        transform_cfg=dict(
+            network_process_size=[384, 512], image_raw_shape=[h, w]
+        ),
+    )
+    s = ds[0]
+    d = s["depth_gt"][..., 0]
+    assert np.isfinite(d).all()  # inf sanitized (eth_dataset.py nan_to_num)
+    assert d[0, 0] == 0.0
+    np.testing.assert_allclose(d[1:, :], depth[1:, :], atol=1e-6)
