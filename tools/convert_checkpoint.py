@@ -21,6 +21,10 @@ Kinds:
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from patchrefinerv2_tpu.utils.checkpoint import save_checkpoint
 from patchrefinerv2_tpu.utils.torch_convert import (
