@@ -38,6 +38,7 @@ from patchrefinerv2_tpu.models.backbones.zoedepth import ZoeDepthDA, ZoeDepthHea
 from patchrefinerv2_tpu.models.tiling import (
     TileCfg,
     crop_resize_patches,
+    merge_passes,
     random_pass_starts,
     regular_pass,
 )
@@ -528,7 +529,18 @@ class PatchRefinerPlus:
         regular_offsets = [(0, 0)]
         if cai_mode == "m2" or cai_mode.startswith("r"):
             regular_offsets += [(0, 1), (1, 0), (1, 1)]
-        passes = [regular_pass(tile_cfg, off, process_num) for off in regular_offsets]
+        passes = [
+            (regular_pass(tile_cfg, off, process_num), process_num)
+            for off in regular_offsets
+        ]
+        if mesh is None and len(passes) > 1:
+            # merge the three shifted passes into one stream and re-chunk it
+            # as process_num chunks + a granule-rounded remainder (16+16+8
+            # instead of 3x16 at 4x4/16) — blending is commutative
+            # scatter-add, so pass order doesn't matter. Under a mesh the
+            # chunk must stay divisible by the device count, so the per-pass
+            # process_num padding is kept there.
+            passes = [passes[0]] + merge_passes([p for p, _ in passes[1:]], process_num)
         n_random_iters = (
             int(cai_mode[1:]) // process_num if cai_mode.startswith("r") else 0
         )
@@ -564,15 +576,15 @@ class PatchRefinerPlus:
             # regular passes: lax.scan over fixed-size chunks — one chunk's
             # crop+roi+refine graph compiled once per pass, constant memory
             state = TileBlender.init(reensemble)
-            for pi, p in enumerate(passes):
+            for pi, (p, chunk) in enumerate(passes):
                 n = p.starts_raw.shape[0]
-                n_chunks = n // process_num
+                n_chunks = n // chunk
                 valid = (np.arange(n) < p.n_valid).astype(np.float32)
                 xs = (
-                    jnp.asarray(p.starts_raw).reshape(n_chunks, process_num, 2),
-                    jnp.asarray(p.starts_process).reshape(n_chunks, process_num, 2),
-                    jnp.asarray(p.bboxes).reshape(n_chunks, process_num, 4),
-                    jnp.asarray(valid).reshape(n_chunks, process_num),
+                    jnp.asarray(p.starts_raw).reshape(n_chunks, chunk, 2),
+                    jnp.asarray(p.starts_process).reshape(n_chunks, chunk, 2),
+                    jnp.asarray(p.bboxes).reshape(n_chunks, chunk, 4),
+                    jnp.asarray(valid).reshape(n_chunks, chunk),
                 )
                 init_pass = pi == 0
 

@@ -100,6 +100,65 @@ def regular_pass(
     )
 
 
+# Conv batch tiling granule on TPU: an 11- or 12-patch conv graph costs like
+# the next multiple of 8 (measured: 3x11 merged chunks were SLOWER than 3x16
+# padded passes, while process_num=8 runs scale proportionally).
+_BATCH_GRANULE = 8
+
+
+def _slice_pass(p: RegularPass, lo: int, hi: int, pad_to: int) -> RegularPass:
+    """p[lo:hi], right-padded with repeats of the last entry to ``pad_to``."""
+    sl = slice(lo, hi)
+    starts_raw = p.starts_raw[sl]
+    starts_proc = p.starts_process[sl]
+    bboxes = p.bboxes[sl]
+    pad = pad_to - starts_raw.shape[0]
+    if pad:
+        starts_raw = np.concatenate([starts_raw, np.repeat(starts_raw[-1:], pad, 0)])
+        starts_proc = np.concatenate([starts_proc, np.repeat(starts_proc[-1:], pad, 0)])
+        bboxes = np.concatenate([bboxes, np.repeat(bboxes[-1:], pad, 0)])
+    return RegularPass(
+        starts_raw=np.ascontiguousarray(starts_raw, np.int32),
+        starts_process=np.ascontiguousarray(starts_proc, np.int32),
+        bboxes=np.ascontiguousarray(bboxes, np.float32),
+        n_valid=hi - lo,
+    )
+
+
+def merge_passes(
+    passes: list[RegularPass], process_num: int
+) -> list[tuple[RegularPass, int]]:
+    """Concatenate the VALID patches of several passes into one stream and
+    re-chunk it as full process_num chunks plus one remainder chunk rounded
+    up to the conv batch granule (e.g. the 33 shifted-pass patches at 4x4/16
+    become 16+16+8 = 40 slots instead of 3x16 = 48).
+
+    Valid because blending is commutative scatter-add algebra (ops/blend.py
+    reduces the reference's sequential RunningAverageMap to sum(w*p)/sum(w));
+    the reference's per-pass padding to process_num re-runs duplicate
+    patches instead (~23% of r32's shifted-pass compute at 4x4/16).
+
+    Returns [(pass, chunk_size), ...] segments for the infer loop.
+    """
+    stream = RegularPass(
+        starts_raw=np.concatenate([p.starts_raw[: p.n_valid] for p in passes]),
+        starts_process=np.concatenate([p.starts_process[: p.n_valid] for p in passes]),
+        bboxes=np.concatenate([p.bboxes[: p.n_valid] for p in passes]),
+        n_valid=sum(p.n_valid for p in passes),
+    )
+    n = stream.n_valid
+    n_full = (n // process_num) * process_num
+    rem = n - n_full
+    segments: list[tuple[RegularPass, int]] = []
+    if n_full:
+        segments.append((_slice_pass(stream, 0, n_full, n_full), process_num))
+    if rem:
+        tail_chunk = min(process_num, -(-rem // _BATCH_GRANULE) * _BATCH_GRANULE)
+        pad_to = -(-rem // tail_chunk) * tail_chunk
+        segments.append((_slice_pass(stream, n_full, n, pad_to), tail_chunk))
+    return segments
+
+
 def random_pass_starts(
     key: jax.Array, tile_cfg: TileCfg, process_num: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -282,10 +282,13 @@ def resize(
         # pallas fusion; the jit path always uses the matmul.
         wm = jnp.asarray(resize_matrix(y.shape[axis], out_size, mode, align_corners, s))
         if compute_dtype == jnp.bfloat16:
+            # emit bf16 directly: the MXU accumulates in f32 regardless, and
+            # asking for an f32 result materializes a full-res f32 tensor +
+            # a convert_element_type pass (profiled at 7.5 ms/frame on the
+            # refinenet1 full-res upsample alone)
             wm = wm.astype(jnp.bfloat16)
             spec = "oh,nhwc->nowc" if axis == 1 else "pw,nowc->nopc"
-            y = jnp.einsum(spec, wm, y, preferred_element_type=jnp.float32)
-            y = y.astype(jnp.bfloat16)
+            y = jnp.einsum(spec, wm, y, preferred_element_type=jnp.bfloat16)
         else:
             spec = "oh,nhwc->nowc" if axis == 1 else "pw,nowc->nopc"
             y = jnp.einsum(spec, wm, y, precision="highest")

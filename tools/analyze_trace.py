@@ -26,21 +26,27 @@ def main():
         [paths[-1]], "framework_op_stats", {"tqx": "out:json"}
     )
     obj = json.loads(data if isinstance(data, str) else data.decode())
-    rows = obj["table"]["rows"]
-    cols = [c["label"] for c in obj["table"]["cols"]]
+    # format drift across xprof versions: {"table": {...}} vs [table, table]
+    table = obj["table"] if isinstance(obj, dict) else obj[0]
+    rows = table["rows"]
+    cols = [c["label"] for c in table["cols"]]
 
-    def col(r, name):
-        return r["c"][cols.index(name)]["v"]
+    def col(r, *names):
+        for name in names:
+            if name in cols:
+                return r["c"][cols.index(name)]["v"]
+        raise KeyError(names)
 
-    print(f"{'self_us':>12} {'avg_us':>10} {'occ':>6}  op")
+    print(f"{'self_us':>12} {'avg_us':>10} {'occ':>6} {'bound':>8}  op")
     total = 0.0
     for r in rows[:topn]:
         self_us = float(col(r, "Total self-time (us)"))
-        occ = int(col(r, "Occurrences"))
-        name = col(r, "Type")
-        op = col(r, "Operation")
+        occ = int(col(r, "Occurrences", "#Occurrences"))
+        name = col(r, "Type", "Operation Type")
+        op = col(r, "Operation", "Operation Name")
+        bound = str(col(r, "Bound by"))[:8] if "Bound by" in cols else ""
         total += self_us
-        print(f"{self_us:12.0f} {self_us / max(occ,1):10.1f} {occ:6d}  {name}: {op[:90]}")
+        print(f"{self_us:12.0f} {self_us / max(occ,1):10.1f} {occ:6d} {bound:>8}  {name}: {op[:90]}")
     print(f"(top {topn} self-time sum: {total/1e3:.1f} ms)")
 
 
