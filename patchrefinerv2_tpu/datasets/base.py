@@ -45,6 +45,16 @@ class DepthDataset:
         print_log("Evaluation Summary:\n" + header + "\n" + values)
         return agg
 
+    def evaluate_consistency(self, results: list[dict], **kwargs) -> dict:
+        """nanmean aggregation of per-image consistency errors
+        (u4k_dataset.py:308-341 pre_eval_to_metrics_consistency +
+        evaluate_consistency)."""
+        from patchrefinerv2_tpu.utils.logging import print_log
+
+        err = float(np.nanmean([r["consistency_error"] for r in results]))
+        print_log(f"Consistency Summary:\nconsistency_error\n{err:.6f}")
+        return {"consistency_error": err}
+
 
 def default_collate(samples: list[dict]) -> dict:
     out: dict[str, Any] = {}

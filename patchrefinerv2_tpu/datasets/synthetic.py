@@ -22,6 +22,8 @@ class SyntheticDataset(DepthDataset):
         min_depth: float = 1e-3,
         max_depth: float = 80,
         seed: int = 0,
+        consistency: bool = False,
+        overlap: int | None = None,
         **kwargs,
     ):
         self.mode = mode
@@ -32,6 +34,23 @@ class SyntheticDataset(DepthDataset):
         self.min_depth = min_depth
         self.max_depth = max_depth
         self.seed = seed
+        self.consistency = consistency
+        if consistency:
+            # the u4k fixed 4x4 half-overlapping grid (u4k_dataset.py:159-161)
+            # generalized to this dataset's geometry: crop = patch_raw_shape,
+            # overlap defaults to half a crop
+            h, w = self.image_raw_shape
+            ph, pw = self.patch_raw_shape
+            self.overlap = int(overlap if overlap is not None else ph // 2)
+            ov = self.overlap
+            self.h_start_list = [
+                int(0 + 3 * ov / 2), int(h // 4 + ov / 2),
+                int(2 * h // 4 - ov / 2), int(3 * h // 4 - 3 * ov / 2),
+            ]
+            self.w_start_list = [
+                int(0 + 3 * ov / 2), int(w // 4 + ov / 2),
+                int(2 * w // 4 - ov / 2), int(3 * w // 4 - 3 * ov / 2),
+            ]
 
     def __len__(self):
         return self.length
@@ -44,6 +63,26 @@ class SyntheticDataset(DepthDataset):
         image = rng.rand(h, w, 3).astype(np.float32)
         depth = (1.0 + 20.0 * rng.rand(h, w)).astype(np.float32)
         image_lr = resize_hwc(image, (nh, nw))
+        if self.mode == "train" and self.consistency:
+            # 16 fixed overlapping crops (u4k_dataset.py:158-184 pattern)
+            crops, depths, bboxs = [], [], []
+            for hs in self.h_start_list:
+                for ws in self.w_start_list:
+                    crop = image[hs : hs + ph, ws : ws + pw]
+                    crops.append(resize_hwc(crop, (nh, nw)))
+                    depths.append(depth[hs : hs + ph, ws : ws + pw, None])
+                    bboxs.append(np.asarray(
+                        [ws / w * nw, hs / h * nh, (ws + pw) / w * nw, (hs + ph) / h * nh],
+                        np.float32,
+                    ))
+            return {
+                "image_lr": image_lr,
+                "crops_image_hr": np.stack(crops).astype(np.float32),
+                "depth_gt": depth[..., None],
+                "crop_depths": np.stack(depths).astype(np.float32),
+                "bboxs": np.stack(bboxs),
+                "img_file_basename": f"synthetic_{idx:04d}",
+            }
         if self.mode == "train":
             hs = rng.randint(0, h - ph + 1)
             ws = rng.randint(0, w - pw + 1)

@@ -246,37 +246,95 @@ class Tester:
         print_log(f"feature maps written to {out_dir}")
         return out_dir
 
-    def run_consistency(
-        self,
-        variables,
-        cai_mode="m1",
-        process_num=4,
-        image_raw_shape=(2160, 3840),
-        overlap=270,
-    ):
-        """Mean abs disagreement in overlapping regions of a fixed 4x4 grid
-        of half-overlapping crops (tester.py:212-321, u4k_dataset.py:62-65)."""
-        errors = []
-        tile_cfg = {"image_raw_shape": list(image_raw_shape), "patch_split_num": [4, 4]}
-        seed = jax.random.PRNGKey(0)
+    def run_consistency(self, variables, process_num=4, overlap=None, **_legacy):
+        """Reference-semantics patch-overlap consistency (tester.py:212-321).
+
+        The consistency dataloader (``consistency=True`` dataset, e.g.
+        u4k_dataset.py:158-184) yields a fixed grid of half-overlapping
+        crops per image. Each crop runs through the TRAIN-mode forward —
+        the per-crop refined prediction, NOT the blended map — is upsampled
+        back to the crop's raw shape (bilinear align_corners=True,
+        tester.py:242-243), and the mean abs disagreement in the
+        ``overlap``-px strips shared with the left/up neighbours is
+        aggregated via ``dataset.evaluate_consistency``
+        (u4k_dataset.py:308-341).
+
+        The reference loops the crops one-at-a-time (batch 1,
+        tester.py:228-244); here the crops run in ``process_num``-sized
+        batches through one jitted program — numerically identical per
+        crop (no cross-batch coupling: norm layers are frozen in eval).
+        """
+        import jax.numpy as jnp
+
+        from patchrefinerv2_tpu.ops.resize import resize
+
+        dataset = self.dataloader.dataset
+        h_starts = list(dataset.h_start_list)
+        w_starts = list(dataset.w_start_list)
+        ph, pw = (int(s) for s in dataset.patch_raw_shape)
+        ov = int(overlap if overlap is not None else getattr(dataset, "overlap", 270))
+        half = ov // 2
+        n_crops = len(h_starts) * len(w_starts)
+        chunk = max(1, min(int(process_num), n_crops))
+        while n_crops % chunk:
+            chunk -= 1
+
+        @jax.jit
+        def crop_forward(v, image_lr, crops, crop_depths, bboxs):
+            batch = {
+                "image_lr": jnp.tile(image_lr, (crops.shape[0], 1, 1, 1)),
+                "crops_image_hr": crops,
+                "crop_depths": crop_depths,
+                "bboxs": bboxs,
+            }
+            _, aux = self.model.loss(v, batch)
+            # F.interpolate(pred, patch_raw_shape, bilinear, align_corners=True)
+            return resize(aux["depth_pred"], (ph, pw), "bilinear", True)
+
+        results = []
         for batch in self.dataloader:
-            seed, sub = jax.random.split(seed)
-            depth, _ = self.model.infer(
-                variables, batch["image_lr"], batch["image_hr"],
-                cai_mode=cai_mode, process_num=process_num, tile_cfg=tile_cfg, seed=sub,
-            )
-            depth = np.asarray(depth)
-            h, w = depth.shape
-            ph, pw = h // 4, w // 4
-            # adjacent-tile borders: compare strips of width `overlap`
-            for r in range(4):
-                for c in range(3):
-                    x = (c + 1) * pw
-                    left = depth[r * ph : (r + 1) * ph, max(x - overlap, 0) : x]
-                    right = depth[r * ph : (r + 1) * ph, x : min(x + overlap, w)]
-                    m = min(left.shape[1], right.shape[1])
-                    if m > 0:
-                        errors.append(np.abs(left[:, -m:] - right[:, :m]).mean())
-        cons = float(np.mean(errors)) if errors else float("nan")
-        print_log(f"consistency error: {cons:.5f}")
-        return {"consistency": cons}
+            preds = []
+            for s in range(0, n_crops, chunk):
+                out = crop_forward(
+                    variables,
+                    jnp.asarray(batch["image_lr"][:1]),
+                    jnp.asarray(batch["crops_image_hr"][0, s : s + chunk]),
+                    jnp.asarray(batch["crop_depths"][0, s : s + chunk]),
+                    jnp.asarray(batch["bboxs"][0, s : s + chunk]),
+                )
+                preds.extend(np.asarray(out, np.float32)[..., 0])
+
+            # left/up overlap disagreement, mirroring tester.py:246-301
+            # (current crop vs temp[-1] left neighbour and temp[-ncols] up
+            # neighbour; corner crop contributes nothing)
+            mosaic = np.zeros(tuple(dataset.image_raw_shape), np.float32)
+            temp: list[np.ndarray] = []
+            err_chunks = []
+            inner = 0
+            for ii, x in enumerate(h_starts):
+                for jj, y in enumerate(w_starts):
+                    cur = preds[inner]
+                    mosaic[x + half : x + ph - half, y + half : y + pw - half] = cur[
+                        half : ph - half, half : pw - half
+                    ]
+                    if ii > 0:
+                        up = temp[-len(w_starts)]
+                        err_chunks.append(
+                            np.abs(up[-ov:, :] - cur[:ov, :]).ravel()
+                        )
+                    if jj > 0:
+                        left = temp[-1]
+                        err_chunks.append(
+                            np.abs(left[:, -ov:] - cur[:, :ov]).ravel()
+                        )
+                    temp.append(cur)
+                    inner += 1
+            err = float(np.concatenate(err_chunks).mean())
+            results.append({"consistency_error": err})
+            if self.save:
+                name = batch.get("img_file_basename", ["consistency"])[0]
+                save_colored(mosaic, os.path.join(self.work_dir, f"{name}.png"), self.cmap)
+
+        results = allgather_metrics(results)
+        ret = dataset.evaluate_consistency(results)
+        return {"consistency": float(ret["consistency_error"]), **ret}

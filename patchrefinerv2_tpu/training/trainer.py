@@ -78,6 +78,10 @@ class Trainer:
         self.early_stop_epoch = int(tc.get("early_stop_epoch", -1))
         self.save_interval = int(tc.get("save_checkpoint_interval", self.max_epochs))
         self.log_interval = int(tc.get("log_interval", 100))
+        self.train_log_img_interval = int(tc.get("train_log_img_interval", 0))
+        self.val_log_img_interval = int(tc.get("val_log_img_interval", 0))
+        self.min_depth = float(config.get("min_depth", 1e-3))
+        self.max_depth = float(config.get("max_depth", 80))
 
         steps_per_epoch = len(train_loader)
         total_steps = self.max_epochs * steps_per_epoch
@@ -113,6 +117,10 @@ class Trainer:
         resume = config.get("resume_from")
         if resume:
             self._resume(resume)
+        if self.val_loader is not None and self.val_evaluator is None:
+            # default m1 tiled-inference evaluator (reference val_epoch,
+            # trainer.py:137-218) so a plain CLI run actually validates
+            self.val_evaluator = self._default_val_evaluator()
         self._train_step = self._build_train_step()
         self._rng = jax.random.PRNGKey(int(config.get("seed", 0)) + 1)
         self.metrics = MetricsLogger(
@@ -144,6 +152,28 @@ class Trainer:
 
         return jax.jit(step_fn, donate_argnums=(0, 1, 2))
 
+    def _log_train_images(self, batch, step):
+        """Training image panels (reference trainer.py:270-271 →
+        log_images:55-125): the logged prediction is recomputed from the
+        post-update weights with one extra forward — kept off the jitted
+        train step so the panel path costs nothing when disabled."""
+        if not hasattr(self, "_panel_loss"):
+            self._panel_loss = getattr(
+                self.model, "loss_jit", jax.jit(lambda v, b, r=None: self.model.loss(v, b))
+            )
+        _, aux = self._panel_loss(self.state.variables(), batch)
+        self.metrics.log_images(
+            {
+                "rgb": batch.get("crops_image_hr", batch.get("image_lr")),
+                "depth_pred": aux["depth_pred"],
+                "depth_gt": batch.get("crop_depths", batch.get("depth_gt")),
+            },
+            prefix="Train",
+            min_depth=self.min_depth,
+            max_depth=self.max_depth,
+            step=self.state.step,
+        )
+
     def train_epoch(self, epoch: int):
         t0 = time.time()
         collect = self.config.get("collect_input_args")
@@ -170,28 +200,100 @@ class Trainer:
                 )
                 if jax.process_index() == 0:
                     self.metrics.log({"lr": lr, "imgs_per_sec": ips, **losses}, self.state.step)
+            if (
+                self.train_log_img_interval > 0
+                and jax.process_index() == 0
+                and (i + 1) % self.train_log_img_interval == 0
+            ):
+                self._log_train_images(batch, self.state.step)
             if self.val_type == "iter_base" and self.val_loader is not None:
                 if self.state.step % self.val_interval == 0:
                     self.val_epoch()
 
+    def _default_val_evaluator(self):
+        """m1 tiled inference + dataset.get_metrics per val image, mirroring
+        the reference val_epoch (trainer.py:152-178). Returns
+        (metrics, depth_pred) so val_epoch can also log image panels."""
+        tc = self.config.get("train_cfg", {})
+        cai_mode = tc.get("val_cai_mode", "m1")
+        process_num = int(tc.get("val_process_num", 4))
+        dataset = getattr(self.val_loader, "dataset", None)
+
+        def evaluate(model, variables, batch):
+            if "image_hr" not in batch or "depth_gt" not in batch:
+                return None
+            hr = np.asarray(batch["image_hr"])
+            split = getattr(getattr(model, "tile_cfg", None), "patch_split_num", (4, 4))
+            tile_cfg = {
+                "image_raw_shape": list(hr.shape[1:3]),
+                "patch_split_num": list(split),
+            }
+            depth, _ = model.infer(
+                variables,
+                batch["image_lr"],
+                batch["image_hr"],
+                cai_mode=cai_mode,
+                process_num=process_num,
+                tile_cfg=tile_cfg,
+                seed=jax.random.PRNGKey(0),
+            )
+            depth = np.asarray(depth)
+            if dataset is None or not hasattr(dataset, "get_metrics"):
+                return None
+            m = dataset.get_metrics(
+                np.asarray(batch["depth_gt"]),
+                depth,
+                disp_gt_edges=batch.get("boundary"),
+                seg_image=batch.get("seg_image"),
+            )
+            return m, depth
+
+        return evaluate
+
     def val_epoch(self):
         if self.val_loader is None or self.val_evaluator is None:
             return {}
+        self._val_count = getattr(self, "_val_count", 0)
         metrics = []
         variables = self.state.variables()
-        for batch in self.val_loader:
-            m = self.val_evaluator(self.model, variables, batch)
-            if m is not None:
-                metrics.append(m)
+        for idx, batch in enumerate(self.val_loader):
+            out = self.val_evaluator(self.model, variables, batch)
+            depth_pred = None
+            if isinstance(out, tuple):
+                out, depth_pred = out
+            if out is not None:
+                metrics.append(out)
+            self._val_count += 1
+            if (
+                depth_pred is not None
+                and self.val_log_img_interval > 0
+                and jax.process_index() == 0
+                and (idx + 1) % self.val_log_img_interval == 0
+            ):
+                self.metrics.log_images(
+                    {
+                        "rgb": batch.get("image_hr"),
+                        "depth_pred": depth_pred,
+                        "depth_gt": batch.get("depth_gt"),
+                    },
+                    prefix="Val",
+                    min_depth=self.min_depth,
+                    max_depth=self.max_depth,
+                    step=self._val_count,
+                )
         metrics = allgather_metrics(metrics)
         if not metrics:
             return {}
-        agg = {
-            k: float(np.nanmean([m[k] for m in metrics]))
-            for k in metrics[0]
-            if np.isscalar(metrics[0][k]) or np.ndim(metrics[0][k]) == 0
-        }
-        print_log("val: " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+        dataset = getattr(self.val_loader, "dataset", None)
+        if dataset is not None and hasattr(dataset, "evaluate"):
+            agg = {k: float(v) for k, v in dataset.evaluate(metrics).items()}
+        else:
+            agg = {
+                k: float(np.nanmean([m[k] for m in metrics]))
+                for k in metrics[0]
+                if np.isscalar(metrics[0][k]) or np.ndim(metrics[0][k]) == 0
+            }
+        print_log("val: " + " ".join(f"Val/{k}={v:.4f}" for k, v in agg.items()))
         if jax.process_index() == 0:
             self.metrics.log({f"Val/{k}": v for k, v in agg.items()}, self.state.step)
         return agg

@@ -51,6 +51,60 @@ class MetricsLogger:
             if arr.shape[-1] == 3:
                 arr = cv2.cvtColor(arr, cv2.COLOR_RGB2BGR)
             cv2.imwrite(path, arr)
+            return path
+        return None
+
+    def log_images(
+        self,
+        log_dict: dict[str, Any],
+        prefix: str = "Train",
+        scalar_cmap: str = "turbo_r",
+        min_depth: float = 1e-3,
+        max_depth: float = 80,
+        step: int = 0,
+    ):
+        """Colorized rgb | depth_gt | depth_pred panel per the reference
+        trainer's wandb image logging (trainer.py:55-125): gt colorized with
+        the invalid-depth mask and ``scalar_cmap``, pred full-range; the
+        panel is written as one side-by-side PNG (and mirrored to wandb
+        when live). HWC float arrays expected (first batch element is
+        taken from NHWC inputs)."""
+        import numpy as np
+
+        from patchrefinerv2_tpu.utils.color import colorize
+
+        def first(x):
+            a = np.asarray(x, np.float32)
+            return a[0] if a.ndim == 4 else a
+
+        if "depth_pred" not in log_dict or "depth_gt" not in log_dict:
+            return None
+        depth_pred = first(log_dict["depth_pred"]).squeeze()
+        depth_gt = first(log_dict["depth_gt"]).squeeze()
+        invalid = np.logical_or(depth_gt <= min_depth, depth_gt >= max_depth)
+        if invalid.all():  # all gt pixels invalid (trainer.py:72-73)
+            return None
+        gt_color = colorize(
+            depth_gt, vmin=None, vmax=None, invalid_mask=invalid,
+            cmap=scalar_cmap, vminp=0, vmaxp=100,
+        )[..., :3]
+        pred_color = colorize(
+            depth_pred, vmin=None, vmax=None, vminp=0, vmaxp=100
+        )[..., :3]
+        tiles = [gt_color, pred_color]
+        if "rgb" in log_dict:
+            rgb = np.clip(first(log_dict["rgb"]), 0, 1)
+            rgb = (rgb * 255).astype(np.uint8)
+            if rgb.shape[:2] != gt_color.shape[:2]:
+                import cv2
+
+                rgb = cv2.resize(rgb, (gt_color.shape[1], gt_color.shape[0]))
+            tiles.insert(0, rgb)
+        panel = np.concatenate(tiles, axis=1)
+        path = self.log_image(f"{prefix}_depth", panel.astype(np.float32) / 255.0, step)
+        if self._wandb is not None:
+            self._wandb.log({f"{prefix}/LogImageDepth": self._wandb.Image(panel)}, step=step)
+        return path
 
     def close(self):
         self._f.close()

@@ -54,13 +54,79 @@ def test_generate_pl_writes_uint16(tiny_setup, tmp_path):
 
 
 def test_run_consistency_returns_error(tiny_setup, tmp_path):
-    model, variables, loader = tiny_setup
-    tester = Tester({}, model, loader, work_dir=str(tmp_path))
-    out = tester.run_consistency(
-        variables, cai_mode="m1", process_num=2, image_raw_shape=(168, 224)
+    """Reference semantics (tester.py:212-321): per-crop train-mode
+    forwards over the dataset's fixed overlapping grid, left/up overlap
+    MAE, evaluate_consistency aggregation."""
+    model, variables, _ = tiny_setup
+    ds = DATASETS.build(
+        dict(
+            type="SyntheticDataset",
+            mode="train",
+            consistency=True,
+            length=1,
+            image_raw_shape=(168, 224),
+            network_process_size=(84, 112),
+            patch_raw_shape=(42, 56),
+            overlap=20,
+        )
     )
+    loader = DataLoader(ds, batch_size=1, shuffle=False, num_prefetch=0)
+    tester = Tester({}, model, loader, work_dir=str(tmp_path))
+    out = tester.run_consistency(variables, process_num=4)
     assert "consistency" in out and np.isfinite(out["consistency"])
     assert out["consistency"] >= 0
+    assert out["consistency_error"] == out["consistency"]
+
+
+def test_run_consistency_matches_per_crop_reference_loop(tiny_setup, tmp_path):
+    """The chunked-batch forward must equal the reference's one-crop-at-a-
+    time loop (tester.py:228-244) followed by align_corners=True bilinear
+    upsample and the left/up strip MAE (:246-301)."""
+    import jax.numpy as jnp
+
+    from patchrefinerv2_tpu.ops.resize import resize
+
+    model, variables, _ = tiny_setup
+    ds = DATASETS.build(
+        dict(
+            type="SyntheticDataset",
+            mode="train",
+            consistency=True,
+            length=1,
+            image_raw_shape=(168, 224),
+            network_process_size=(84, 112),
+            patch_raw_shape=(42, 56),
+            overlap=20,
+        )
+    )
+    loader = DataLoader(ds, batch_size=1, shuffle=False, num_prefetch=0)
+    tester = Tester({}, model, loader, work_dir=str(tmp_path))
+    got = tester.run_consistency(variables, process_num=4)["consistency"]
+
+    # reference-style scalar loop
+    batch = next(iter(DataLoader(ds, batch_size=1, shuffle=False, num_prefetch=0)))
+    ph, pw = ds.patch_raw_shape
+    ov = ds.overlap
+    preds = []
+    for i in range(16):
+        sub = {
+            "image_lr": jnp.asarray(batch["image_lr"][:1]),
+            "crops_image_hr": jnp.asarray(batch["crops_image_hr"][:, i]),
+            "crop_depths": jnp.asarray(batch["crop_depths"][:, i]),
+            "bboxs": jnp.asarray(batch["bboxs"][:, i]),
+        }
+        _, aux = model.loss(variables, sub)
+        preds.append(np.asarray(resize(aux["depth_pred"], (ph, pw), "bilinear", True), np.float32)[0, :, :, 0])
+    errs = []
+    for ii in range(4):
+        for jj in range(4):
+            k = ii * 4 + jj
+            if ii > 0:
+                errs.append(np.abs(preds[k - 4][-ov:, :] - preds[k][:ov, :]).ravel())
+            if jj > 0:
+                errs.append(np.abs(preds[k - 1][:, -ov:] - preds[k][:, :ov]).ravel())
+    want = float(np.concatenate(errs).mean())
+    assert np.isclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_benchmark_and_complexity(tiny_setup, tmp_path):

@@ -66,6 +66,52 @@ def test_trainer_two_steps(tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def test_trainer_validation_and_image_panels(tmp_path):
+    """CLI-path validation must be live (VERDICT: tools/train.py never
+    passed a val_evaluator). Trainer now builds the default m1-infer
+    evaluator itself (reference trainer.py:137-218) and writes colorized
+    Train/Val depth panels (trainer.py:55-125) on the log-img intervals."""
+    import json
+    import os
+
+    from patchrefinerv2_tpu.training.trainer import Trainer
+
+    cfg = _train_cfg(tmp_path)
+    cfg["train_cfg"]["eval_start"] = 0
+    cfg["train_cfg"]["train_log_img_interval"] = 1
+    cfg["train_cfg"]["val_log_img_interval"] = 1
+    model = MODELS.build(cfg.model)
+    ds_kw = dict(
+        type="SyntheticDataset",
+        length=2,
+        image_raw_shape=(168, 224),
+        network_process_size=(84, 112),
+        patch_raw_shape=(84, 112),
+    )
+    train_loader = DataLoader(
+        DATASETS.build(dict(mode="train", **ds_kw)), batch_size=2, shuffle=True,
+        num_prefetch=0,
+    )
+    val_loader = DataLoader(
+        DATASETS.build(dict(mode="infer", **ds_kw)), batch_size=1, shuffle=False,
+        num_prefetch=0,
+    )
+    trainer = Trainer(cfg, model, train_loader, val_loader, work_dir=str(tmp_path))
+    assert trainer.val_evaluator is not None  # default evaluator wired
+    trainer.run()
+
+    # Val/* metrics reached the metrics sink
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    val_keys = {k for r in recs for k in r if k.startswith("Val/")}
+    assert "Val/abs_rel" in val_keys
+    assert all(np.isfinite(r[k]) for r in recs for k in r if k.startswith("Val/"))
+
+    # image panels written for both train and val
+    panels = os.listdir(tmp_path / "panels")
+    assert any(p.startswith("Train_depth") for p in panels)
+    assert any(p.startswith("Val_depth") for p in panels)
+
+
 def test_tester_run_synthetic(tmp_path):
     from patchrefinerv2_tpu.evaluation.tester import Tester
 

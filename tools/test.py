@@ -108,10 +108,7 @@ def main():
             variables, cai_mode=args.cai_mode, process_num=args.process_num
         )
     elif args.test_type == "consistency":
-        tester.run_consistency(
-            variables, cai_mode=args.cai_mode, process_num=args.process_num,
-            image_raw_shape=tuple(args.image_raw_shape),
-        )
+        tester.run_consistency(variables, process_num=args.process_num)
     else:
         tester.run(
             variables,
