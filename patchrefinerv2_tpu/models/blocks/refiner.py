@@ -37,6 +37,9 @@ class LightWeightRefiner(nn.Module):
     proj_channels: Sequence[int] | None = None
     decoder_channels: Sequence[int] | None = None
     coarse_feat_chl: Sequence[int] | None = None
+    # checkpoint-derived arch override for spec-parameterized encoders
+    # (mobilenetv4: convert_timm_mnv4(..., return_spec=True))
+    encoder_spec: dict | None = None
 
     @nn.compact
     def __call__(self, crop_image, coarse_depth=None, train: bool = False):
@@ -46,7 +49,10 @@ class LightWeightRefiner(nn.Module):
         x = (crop_image - mean) / std
         if self.coarse_condition:
             x = jnp.concatenate([x, coarse_depth], axis=-1)
-        enc = spec["cls"](in_ch=x.shape[-1], name="refiner_encoder")
+        enc_kwargs = {}
+        if self.encoder_spec is not None:
+            enc_kwargs["spec"] = self.encoder_spec
+        enc = spec["cls"](in_ch=x.shape[-1], name="refiner_encoder", **enc_kwargs)
         features = enc(x, train=train)  # high-res -> low-res, 5 levels
 
         if self.with_decoder:

@@ -318,6 +318,143 @@ def convert_timm_mbnet(
     return {"params": params, "batch_stats": stats}
 
 
+def convert_timm_mnv4(
+    sd: Dict[str, np.ndarray], prefix: str = "", in_ch: int = 3,
+    return_spec: bool = False,
+) -> dict:
+    """timm mobilenetv4_conv_* state dict -> MobileNetV4Features flax tree
+    (models/backbones/mobilenetv4.py). Covers the reference's
+    ``mobilenetv4_conv_small/medium/large`` refiner encoders
+    (lightweight_refiner.py:260-262, v2_mobile_u4k.py:94).
+
+    timm block types are detected per block from key presence:
+
+    * UniversalInvertedResidual (``pw_exp.conv`` present) — dw_start /
+      pw_exp / dw_mid / pw_proj ConvNormAct children map onto UIB's
+      dw_start+bn_s / pw_exp+bn_e / dw_mid+bn_m / pw_proj+bn_p;
+    * EdgeResidual (``conv_exp`` present) — conv_exp/bn1 + conv_pwl/bn2
+      map 1:1;
+    * ConvBnAct (``conv`` present) — conv/bn1 maps onto ConvBN; a
+      single-block 1x1 stage is the 960-ch conv head.
+
+    The architecture spec (kernels, channels, expansion, dw kernels) is
+    DERIVED from weight shapes; strides from stage position (each stage's
+    first block strides 2, except 1x1 convs). ``return_spec=True``
+    additionally returns the derived ``_MNV4_SPECS``-format dict to build
+    a structurally matching MobileNetV4Features regardless of the
+    built-in variant layouts (zero-egress hedge — see mobilenetv4.py
+    module docstring). ``in_ch=4`` zero-extends the stem for coarse
+    conditioning; estimator checkpoints whose stem is already 4-ch pass
+    ``in_ch=3`` (no patch).
+    """
+    g = lambda k: np.asarray(sd[prefix + k])
+    has = lambda k: (prefix + k) in sd
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    if any(k.startswith(prefix) and ".layer_scale." in k for k in sd):
+        raise NotImplementedError(
+            "mnv4 checkpoint carries layer_scale gammas; UIB has no "
+            "layer-scale path (conv variants are expected to have none)"
+        )
+
+    stem = t2f_conv(g("conv_stem.weight"))
+    stem_ch = int(stem.shape[-1])
+    if in_ch == 4:
+        stem = patch_stem_to_4ch(stem)
+    _set(params, ["conv_stem", "conv", "kernel"], stem)
+    _bn(g, "bn1", ["conv_stem", "bn", "BatchNorm_0"],
+        ["conv_stem", "bn", "BatchNorm_0"], params, stats)
+
+    def _uib(b, name, bi):
+        pw_exp = g(b + ".pw_exp.conv.weight")
+        in_c, mid = int(pw_exp.shape[1]), int(pw_exp.shape[0])
+        out_c = int(g(b + ".pw_proj.conv.weight").shape[0])
+        dws = dwm = 0
+        if has(b + ".dw_start.conv.weight"):
+            w = g(b + ".dw_start.conv.weight")
+            dws = int(w.shape[-1])
+            _set(params, [name, "dw_start", "kernel"], t2f_conv(w))
+            _bn(g, b + ".dw_start.bn", [name, "bn_s", "BatchNorm_0"],
+                [name, "bn_s", "BatchNorm_0"], params, stats)
+        _set(params, [name, "pw_exp", "kernel"], t2f_conv(pw_exp))
+        _bn(g, b + ".pw_exp.bn", [name, "bn_e", "BatchNorm_0"],
+            [name, "bn_e", "BatchNorm_0"], params, stats)
+        if has(b + ".dw_mid.conv.weight"):
+            w = g(b + ".dw_mid.conv.weight")
+            dwm = int(w.shape[-1])
+            _set(params, [name, "dw_mid", "kernel"], t2f_conv(w))
+            _bn(g, b + ".dw_mid.bn", [name, "bn_m", "BatchNorm_0"],
+                [name, "bn_m", "BatchNorm_0"], params, stats)
+        _set(params, [name, "pw_proj", "kernel"],
+             t2f_conv(g(b + ".pw_proj.conv.weight")))
+        _bn(g, b + ".pw_proj.bn", [name, "bn_p", "BatchNorm_0"],
+            [name, "bn_p", "BatchNorm_0"], params, stats)
+        stride = 2 if bi == 0 else 1
+        return ("uib", out_c, stride, 0, mid / in_c, dws, dwm, 1)
+
+    def _er(b, name, bi):
+        w = g(b + ".conv_exp.weight")
+        mid, in_c, k = int(w.shape[0]), int(w.shape[1]), int(w.shape[-1])
+        out_c = int(g(b + ".conv_pwl.weight").shape[0])
+        _set(params, [name, "conv_exp", "kernel"], t2f_conv(w))
+        _bn(g, b + ".bn1", [name, "bn1", "BatchNorm_0"],
+            [name, "bn1", "BatchNorm_0"], params, stats)
+        _set(params, [name, "conv_pwl", "kernel"], t2f_conv(g(b + ".conv_pwl.weight")))
+        _bn(g, b + ".bn2", [name, "bn2", "BatchNorm_0"],
+            [name, "bn2", "BatchNorm_0"], params, stats)
+        stride = 2 if bi == 0 else 1
+        return ("er", out_c, stride, k, mid / in_c, 0, 0, 1)
+
+    spec_stages: list[list[tuple]] = []
+    head_ch = None
+    si = 0
+    while any(
+        has(f"blocks.{si}.0.{k}")
+        for k in ("conv.weight", "conv_exp.weight", "pw_exp.conv.weight")
+    ):
+        rows: list[tuple] = []
+        fsi = len(spec_stages)
+        bi = 0
+        while True:
+            b = f"blocks.{si}.{bi}"
+            name = f"b{fsi}_{bi}"
+            if has(b + ".pw_exp.conv.weight"):
+                rows.append(_uib(b, name, bi))
+            elif has(b + ".conv_exp.weight"):
+                rows.append(_er(b, name, bi))
+            elif has(b + ".conv.weight"):
+                w = g(b + ".conv.weight")
+                k, out_c = int(w.shape[-1]), int(w.shape[0])
+                if k == 1 and bi == 0 and not any(
+                    has(f"blocks.{si}.1.{kk}")
+                    for kk in ("conv.weight", "conv_exp.weight", "pw_exp.conv.weight")
+                ):
+                    # single-block 1x1 stage = the conv head
+                    _set(params, ["conv_head", "conv", "kernel"], t2f_conv(w))
+                    _bn(g, b + ".bn1", ["conv_head", "bn", "BatchNorm_0"],
+                        ["conv_head", "bn", "BatchNorm_0"], params, stats)
+                    head_ch = out_c
+                    break
+                stride = 2 if (bi == 0 and k != 1) else 1
+                _set(params, [name, "conv", "kernel"], t2f_conv(w))
+                _bn(g, b + ".bn1", [name, "bn", "BatchNorm_0"],
+                    [name, "bn", "BatchNorm_0"], params, stats)
+                rows.append(("cn", out_c, stride, k, 0, 0, 0, 1))
+            else:
+                break
+            bi += 1
+        if rows:
+            spec_stages.append(rows)
+        si += 1
+
+    out = {"params": params, "batch_stats": stats}
+    if return_spec:
+        spec = dict(stem=stem_ch, stages=spec_stages, head=head_ch)
+        return out, spec
+    return out
+
+
 def convert_timm_convnext(
     sd: Dict[str, np.ndarray], prefix: str = "", in_ch: int = 3, v2: bool = True
 ) -> dict:
@@ -660,7 +797,14 @@ def convert_patchrefinerplus(sd: Dict[str, np.ndarray]) -> dict:
     if any(k.startswith("coarse_branch.") for k in sd):
         params["coarse"] = convert_zoedepth(sd, "coarse_branch.")
     if any(k.startswith("refiner_fine_branch.refiner_encoder.") for k in sd):
-        enc = convert_timm_mbnet(sd, "refiner_fine_branch.refiner_encoder.")
+        if any(
+            k.startswith("refiner_fine_branch.refiner_encoder.")
+            and ".pw_exp.conv." in k
+            for k in sd
+        ):
+            enc = convert_timm_mnv4(sd, "refiner_fine_branch.refiner_encoder.")
+        else:
+            enc = convert_timm_mbnet(sd, "refiner_fine_branch.refiner_encoder.")
         params["fine"] = {"refiner_encoder": enc["params"]}
         stats["fine"] = {"refiner_encoder": enc["batch_stats"]}
     if any(k.startswith("refiner_fusion_model.") for k in sd):
