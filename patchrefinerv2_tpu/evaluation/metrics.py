@@ -79,9 +79,74 @@ def get_boundaries(disp, th=1.0, dilation=10):
     return edges
 
 
+def _canny_numpy(image, sigma=1.0, low_threshold=0.1, high_threshold=0.2, mask=None):
+    """skimage.feature.canny reimplementation on numpy/scipy (skimage is
+    not in this environment): masked gaussian smoothing with bleed-over
+    compensation, scipy sobel gradients, bilinear-interpolated non-maximum
+    suppression in four orientation sectors, and connected-component
+    hysteresis between the low/high magnitude thresholds (skimage default
+    absolute thresholds 0.1/0.2)."""
+    from scipy import ndimage as ndi
+
+    image = np.asarray(image, np.float64)
+    H, W = image.shape
+    if mask is None:
+        mask = np.ones(image.shape, bool)
+    else:
+        mask = np.asarray(mask, bool)
+    fsmooth = lambda x: ndi.gaussian_filter(x, sigma, mode="constant")
+    bleed = fsmooth(mask.astype(np.float64))
+    smoothed = fsmooth(image * mask) / (bleed + 1e-12)
+    eroded_mask = ndi.binary_erosion(mask, np.ones((3, 3), bool), border_value=0)
+
+    jsobel = ndi.sobel(smoothed, axis=1)
+    isobel = ndi.sobel(smoothed, axis=0)
+    abs_i, abs_j = np.abs(isobel), np.abs(jsobel)
+    magnitude = np.hypot(isobel, jsobel)
+
+    pm = np.pad(magnitude, 1)
+    nb = lambda di, dj: pm[1 + di : 1 + di + H, 1 + dj : 1 + dj + W]
+    eps = 1e-12
+    same_sign = (isobel * jsobel) >= 0
+    local_maxima = np.zeros(image.shape, bool)
+
+    # gradient mostly horizontal (|jsobel| >= |isobel|): interpolate between
+    # the left/right neighbours and their diagonal partners
+    horiz = abs_j >= abs_i
+    w = abs_i / (abs_j + eps)
+    for sgn, diag in ((same_sign, 1), (~same_sign, -1)):
+        sel = horiz & sgn
+        c_plus = nb(diag, 1) * w + nb(0, 1) * (1 - w)
+        c_minus = nb(-diag, -1) * w + nb(0, -1) * (1 - w)
+        local_maxima |= sel & (magnitude >= c_plus) & (magnitude >= c_minus)
+
+    # gradient mostly vertical
+    vert = ~horiz
+    w = abs_j / (abs_i + eps)
+    for sgn, diag in ((same_sign, 1), (~same_sign, -1)):
+        sel = vert & sgn
+        c_plus = nb(1, diag) * w + nb(1, 0) * (1 - w)
+        c_minus = nb(-1, -diag) * w + nb(-1, 0) * (1 - w)
+        local_maxima |= sel & (magnitude >= c_plus) & (magnitude >= c_minus)
+
+    local_maxima &= eroded_mask & (magnitude > 0)
+    low_mask = local_maxima & (magnitude >= low_threshold)
+    high_mask = local_maxima & (magnitude >= high_threshold)
+    labels, num = ndi.label(low_mask, structure=np.ones((3, 3), int))
+    if num == 0:
+        return low_mask
+    hits = ndi.sum(high_mask.astype(np.float64), labels, np.arange(1, num + 1))
+    keep = np.zeros(num + 1, bool)
+    keep[1:] = hits > 0
+    return low_mask & keep[labels]
+
+
 def extract_edges(depth, preprocess=None, sigma=1, mask=None, use_canny=True):
     """Canny edges over log/inverse depth (metric.py:169-207)."""
-    from skimage.feature import canny
+    try:
+        from skimage.feature import canny
+    except ImportError:
+        canny = _canny_numpy
 
     depth = np.asarray(depth).squeeze()
     if preprocess == "log":

@@ -5,10 +5,14 @@ reference loss leaves the device:
 
 * EdgeguidedRankingLoss (:256-520) — the reference extracts skimage canny
   edges on CPU per step and gathers a *dynamic* number of edge anchors.
-  Here edges come from an in-graph Sobel magnitude threshold on log depth
-  and anchors are drawn with ``jax.random.categorical`` over the edge mask
-  (static sample count, invalid samples masked) — same estimator in
-  expectation, fully jit-compatible. Divergence documented.
+  Here the canny anchor extraction runs in-graph (canny_edges_graph:
+  NMS + bounded-iteration hysteresis, all VPU-vectorized) and anchors are
+  drawn with ``jax.random.categorical`` over the edge mask (static sample
+  count, invalid samples masked); the sampling geometry — incl. the
+  kornia-sobel-magnitude-as-theta quirk and the two direction branches —
+  mirrors the reference. Statistical parity (loss mean + seed-averaged
+  gradient cosine vs a 1:1 torch port) is pinned by
+  tests/test_ranking_loss_divergence.py.
 * ScaleAndShiftInvariantUncertLoss (:703-779) — confidence-weighted grad
   matching; the only_missing_area canny path is likewise not in-graph.
 * EdgeClsLoss (:183-204) / ErrorLoss (:207-243) — dice + focal over
@@ -48,6 +52,107 @@ def sobel_edges(x):
     mag = jnp.sqrt(gx**2 + gy**2)
     theta = jnp.arctan2(gy, gx)
     return mag, theta
+
+
+def _conv2d_same(x, kern, mode):
+    """Cross-correlate (B, H, W) with a 2D kernel; `mode` is the jnp.pad
+    border mode ('constant' / 'symmetric' / 'edge')."""
+    kh, kw = kern.shape
+    xp = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)), mode=mode)
+    return jax.lax.conv_general_dilated(
+        xp[:, None], kern[None, None].astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0]
+
+
+def kornia_sobel_magnitude(x):
+    """kornia.filters.sobel(x, normalized=True, eps=1e-6) on (B, H, W):
+    the reference feeds this MAGNITUDE in as 'thetas' for the edge-guided
+    sampling directions (losses.py:459) — a quirk preserved bit-for-bit."""
+    kx = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]) / 8.0
+    ky = jnp.asarray([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]]) / 8.0
+    gx = _conv2d_same(x, kx, "edge")
+    gy = _conv2d_same(x, ky, "edge")
+    return jnp.sqrt(gx * gx + gy * gy + 1e-6)
+
+
+def _dilate3x3(m):
+    """3x3 binary dilation of a (B, H, W) bool mask (zero border)."""
+    b, h, w = m.shape
+    mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))
+    out = jnp.zeros_like(m)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            out = out | mp[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w]
+    return out
+
+
+def canny_edges_graph(x, sigma=1.0, low_threshold=0.1, high_threshold=0.2,
+                      hysteresis_iters=128):
+    """In-graph skimage-canny over (B, H, W) maps: gaussian smoothing with
+    constant-pad bleed compensation, scipy-sobel gradients (reflect pad),
+    bilinear-interpolated non-maximum suppression, and hysteresis via
+    bounded 3x3-dilation iterations (a fixed-iteration-count stand-in for
+    connected-component labelling — propagates `hysteresis_iters` px along
+    weak-edge chains, exact for chains shorter than that).
+
+    Matches evaluation.metrics._canny_numpy / skimage.feature.canny with a
+    full mask; everything is vectorized VPU work so the whole loss stays
+    inside one jitted program (vs the reference's per-step CPU round trip,
+    losses.py:462-470)."""
+    b, h, w = x.shape
+    radius = max(1, int(4.0 * sigma + 0.5))
+    t = jnp.arange(-radius, radius + 1, dtype=x.dtype)
+    g1 = jnp.exp(-0.5 * (t / sigma) ** 2)
+    g1 = g1 / g1.sum()
+    gauss2 = g1[:, None] * g1[None, :]
+
+    bleed = _conv2d_same(jnp.ones_like(x), gauss2, "constant")
+    smoothed = _conv2d_same(x, gauss2, "constant") / (bleed + 1e-12)
+
+    deriv = jnp.asarray([-1.0, 0.0, 1.0])
+    smooth = jnp.asarray([1.0, 2.0, 1.0])
+    jsobel = _conv2d_same(smoothed, smooth[:, None] * deriv[None, :], "symmetric")
+    isobel = _conv2d_same(smoothed, deriv[:, None] * smooth[None, :], "symmetric")
+    abs_i, abs_j = jnp.abs(isobel), jnp.abs(jsobel)
+    magnitude = jnp.hypot(isobel, jsobel)
+
+    pm = jnp.pad(magnitude, ((0, 0), (1, 1), (1, 1)))
+    nb = lambda di, dj: pm[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w]
+    eps = 1e-12
+    same_sign = (isobel * jsobel) >= 0
+    local_maxima = jnp.zeros(x.shape, bool)
+
+    # gradient mostly horizontal (|jsobel| >= |isobel|): interpolate between
+    # the left/right neighbours and their diagonal partners
+    horiz = abs_j >= abs_i
+    wgt = abs_i / (abs_j + eps)
+    for sgn, diag in ((same_sign, 1), (~same_sign, -1)):
+        sel = horiz & sgn
+        c_plus = nb(diag, 1) * wgt + nb(0, 1) * (1 - wgt)
+        c_minus = nb(-diag, -1) * wgt + nb(0, -1) * (1 - wgt)
+        local_maxima |= sel & (magnitude >= c_plus) & (magnitude >= c_minus)
+
+    # gradient mostly vertical
+    vert = ~horiz
+    wgt = abs_j / (abs_i + eps)
+    for sgn, diag in ((same_sign, 1), (~same_sign, -1)):
+        sel = vert & sgn
+        c_plus = nb(1, diag) * wgt + nb(1, 0) * (1 - wgt)
+        c_minus = nb(-1, -diag) * wgt + nb(-1, 0) * (1 - wgt)
+        local_maxima |= sel & (magnitude >= c_plus) & (magnitude >= c_minus)
+
+    interior = jnp.zeros(x.shape, bool).at[:, 1:-1, 1:-1].set(True)
+    local_maxima = local_maxima & interior & (magnitude > 0)
+    low_mask = local_maxima & (magnitude >= low_threshold)
+    high_mask = local_maxima & (magnitude >= high_threshold)
+
+    return jax.lax.fori_loop(
+        0, hysteresis_iters,
+        lambda _, m: low_mask & _dilate3x3(m),
+        high_mask,
+    )
 
 
 @MODELS.register_module()
@@ -94,14 +199,16 @@ class EdgeguidedRankingLoss:
         if self.only_missing_area:
             anchor_region = gt == self.missing_value
         else:
-            anchor_region = jnp.ones_like(strict_mask)
+            anchor_region = strict_mask
 
-        # edge mask over log target depth (canny substitute)
-        log_t = jnp.log(jnp.clip(tgt, 1.19e-7, None))
-        mag, theta = sobel_edges(log_t)
-        thr = jnp.quantile(mag.reshape(b, -1), self.edge_quantile, axis=1)
-        edges = mag > thr[:, None, None]
-        edges = jnp.logical_and(edges, anchor_region if self.only_missing_area else strict_mask)
+        # canny anchors over log target depth, exactly as the reference's
+        # per-step CPU extract_edges(preprocess='log') (losses.py:462-470)
+        # but computed in-graph
+        log_t = jnp.where(tgt > 0, jnp.log(jnp.clip(tgt, 1.19e-7, None)), 0.0)
+        edges = canny_edges_graph(log_t) & anchor_region
+        # the reference's sampling 'thetas' are kornia sobel MAGNITUDES of
+        # the raw target (losses.py:459) — preserved quirk
+        theta = kornia_sobel_magnitude(tgt)
 
         n_s = self.point_pairs
 
@@ -113,14 +220,23 @@ class EdgeguidedRankingLoss:
             ah = anchor_idx // w
             aw = anchor_idx % w
             th = theta_i[ah, aw]
-            # random 90-degree rotation of the sampling direction (p=0.5)
-            rot = jax.random.bernoulli(k2)
-            th = jnp.where(rot & self.random_direct, th + jnp.pi / 2, th)
             dist = jax.random.randint(k3, (4, n_s), 2, 31).astype(jnp.float32)
             sign = jnp.asarray([-1.0, -1.0, 1.0, 1.0])[:, None]
             dist = dist * sign
-            col = aw[None] + jnp.round(dist * jnp.cos(th)[None]).astype(jnp.int32)
-            row = ah[None] + jnp.round(dist * jnp.sin(th)[None]).astype(jnp.int32)
+            # reference picks one of two direction conventions per image
+            # (losses.py:334-342): p<0.5 uses (cos, sin); else theta+pi/2
+            # wrapped to [-pi, pi) with (sin, cos) swapped
+            col1 = aw[None] + jnp.round(dist * jnp.cos(th)[None]).astype(jnp.int32)
+            row1 = ah[None] + jnp.round(dist * jnp.sin(th)[None]).astype(jnp.int32)
+            th2 = jnp.mod(th + jnp.pi / 2 + jnp.pi, 2 * jnp.pi) - jnp.pi
+            col2 = aw[None] + jnp.round(dist * jnp.sin(th2)[None]).astype(jnp.int32)
+            row2 = ah[None] + jnp.round(dist * jnp.cos(th2)[None]).astype(jnp.int32)
+            if self.random_direct:
+                swap = jax.random.uniform(k2) >= 0.5
+                col = jnp.where(swap, col2, col1)
+                row = jnp.where(swap, row2, row1)
+            else:
+                col, row = col1, row1
             inb = (col >= 0) & (col <= w - 1) & (row >= 0) & (row <= h - 1)
             pair_ok = jnp.all(inb, axis=0) & any_edge
             colc = jnp.clip(col, 0, w - 1)
@@ -134,7 +250,10 @@ class EdgeguidedRankingLoss:
             t_B = jnp.concatenate([ta[1], ta[2], ta[3]])
             ok = jnp.concatenate([pair_ok, pair_ok, pair_ok]).astype(jnp.float32)
 
-            # random sampling over the strict mask, same count
+            # random pairs over the strict mask, one per surviving edge
+            # pair (reference randomSampling gets sample_num = 3 * anchors,
+            # losses.py:398-476) — weighted by the matching anchor's
+            # survival so the edge:random ratio stays 1:1 in expectation
             slogits = jnp.where(strict_i.reshape(-1), 0.0, -1e30)
             any_valid = strict_i.any()
             ia = jax.random.categorical(k4, slogits, shape=(3 * n_s,))
@@ -143,7 +262,8 @@ class EdgeguidedRankingLoss:
             in_B = jnp.concatenate([in_B, pred_i.reshape(-1)[ib]])
             t_A = jnp.concatenate([t_A, tgt_i.reshape(-1)[ia]])
             t_B = jnp.concatenate([t_B, tgt_i.reshape(-1)[ib]])
-            ok = jnp.concatenate([ok, jnp.full((3 * n_s,), any_valid, jnp.float32)])
+            ok_r = jnp.tile(pair_ok, 3) & any_valid
+            ok = jnp.concatenate([ok, ok_r.astype(jnp.float32)])
 
             in_A = in_A / (250.0 / 80.0)
             in_B = in_B / (250.0 / 80.0)

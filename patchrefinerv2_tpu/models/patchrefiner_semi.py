@@ -165,7 +165,8 @@ class PatchRefinerSemi:
             )
         elif etype == "EdgeguidedRankingLoss":
             edge_loss = self.edgeloss(
-                pred_s, pseudo_label, batch.get("crops_image_hr"), batch.get("crop_depths")
+                pred_s, pseudo_label, batch.get("crops_image_hr"), batch.get("crop_depths"),
+                rng=None if rng is None else jax.random.fold_in(rng, 7),
             )
         else:
             raise NotImplementedError(f"edge loss type {etype!r}")
