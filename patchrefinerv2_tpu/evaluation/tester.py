@@ -223,8 +223,11 @@ class Tester:
         return {"flops": flops, "bytes_accessed": bytes_accessed, "params": n_params}
 
     def vis_feat(self, variables, batch, out_dir=None, max_maps=32):
-        """Dump coarse-branch feature heatmaps (tester.py:407-455; hooks are
-        replaced by flax capture_intermediates on the explicit graph)."""
+        """Dump coarse-branch AND fusion-head feature heatmaps
+        (tester.py:407-455: the reference hooks
+        ``refiner_fusion_model.fusion_layers_1[0]`` — the torch hooks are
+        replaced by flax ``capture_intermediates`` over the explicit
+        graph, which exposes every fusion refinenet/gated-block output)."""
         import jax.numpy as jnp
 
         from patchrefinerv2_tpu.utils.color import save_colored
@@ -243,6 +246,48 @@ class Tester:
             if count >= max_maps:
                 break
         save_colored(np.asarray(pred)[0, :, :, 0], os.path.join(out_dir, "coarse_pred.png"))
+
+        # fusion-head view (the paper-figure maps): run one crop batch
+        # through the train-mode forward capturing the fusion submodule
+        # outputs (reference hook point tester.py:426-427)
+        if "crops_image_hr" in batch and "bboxs" in batch:
+            def _is_fusion(mdl, _method):
+                name = type(mdl).__name__
+                return name in (
+                    "BiDirectionalFusion", "FusionUnet", "GuidedFusion",
+                    "C2FModule", "C2FNOENCModule", "GatedFusionBlock",
+                    "FeatureFusionBlock",
+                )
+
+            _, state = net.apply(
+                variables,
+                jnp.asarray(batch["image_lr"]),
+                jnp.asarray(batch["crops_image_hr"]),
+                jnp.asarray(batch["bboxs"]),
+                False,
+                method=type(net).train_forward,
+                capture_intermediates=_is_fusion,
+                mutable=["intermediates"],
+            )
+
+            def _walk(tree, path):
+                if isinstance(tree, dict):
+                    for k, v in tree.items():
+                        yield from _walk(v, path + (k,))
+                elif isinstance(tree, (tuple, list)):
+                    for v in tree:
+                        yield from _walk(v, path)
+                elif hasattr(tree, "ndim") and tree.ndim == 4:
+                    yield "_".join(p for p in path if p != "__call__"), tree
+
+            for name, f in _walk(state.get("intermediates", {}), ()):
+                if count >= max_maps:
+                    break
+                fmean = np.asarray(f, np.float32).mean(axis=-1)[0]
+                save_colored(
+                    fmean, os.path.join(out_dir, f"fusion_{name}.png"), cmap="magma"
+                )
+                count += 1
         print_log(f"feature maps written to {out_dir}")
         return out_dir
 

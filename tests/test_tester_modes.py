@@ -160,5 +160,9 @@ def test_vis_feat_and_show_gts(tiny_setup, tmp_path):
     batch = next(iter(loader))
     out_dir = tester.vis_feat(variables, batch, out_dir=str(tmp_path / "feats"))
     assert os.path.isdir(out_dir) and len(os.listdir(out_dir)) > 0
+    # fusion-head intermediates captured (reference hook point
+    # tester.py:426-427 refiner_fusion_model.fusion_layers_1[0])
+    if "crops_image_hr" in batch and "bboxs" in batch:
+        assert any(f.startswith("fusion_") for f in os.listdir(out_dir))
     gt_dir = tester.show_gts(out_dir=str(tmp_path / "gts"))
     assert os.path.isdir(gt_dir) and len(os.listdir(gt_dir)) > 0
