@@ -124,6 +124,25 @@ def main():
     dt = time.perf_counter() - t0
     fps = iters / dt
 
+    if os.environ.get("BENCH_BREAKDOWN"):
+        # per-pass breakdown (stderr, JSON stdout stays single-line): time
+        # the m1 (1 pass) and m2 (4 passes) programs to decompose the rN
+        # frame into coarse+dispatch vs per-pass patch cost
+        import sys as _sys
+
+        for mode in ("m1", "m2"):
+            fn = lambda: model.infer(
+                variables, image_lr, image_hr,
+                cai_mode=mode, process_num=process_num, seed=seed, mesh=mesh,
+            )[0]
+            jax.block_until_ready(fn())
+            tb = time.perf_counter()
+            sub = [fn() for _ in range(iters)]
+            jax.block_until_ready(sub)
+            tm = (time.perf_counter() - tb) / iters
+            print(f"breakdown {mode}: {tm*1e3:.1f} ms/frame "
+                  f"({1.0/tm:.3f} fps)", file=_sys.stderr)
+
     print(
         json.dumps(
             {

@@ -164,7 +164,9 @@ class PatchRefinerSemi:
                 pred_s, pseudo_label, min_depth=self.min_depth, max_depth=self.max_depth
             )
         elif etype == "EdgeguidedRankingLoss":
-            edge_loss = self.edgeloss(
+            # the ranking loss returns (loss, sample_count) like the
+            # reference forward (losses.py:520)
+            edge_loss, _ = self.edgeloss(
                 pred_s, pseudo_label, batch.get("crops_image_hr"), batch.get("crop_depths"),
                 rng=None if rng is None else jax.random.fold_in(rng, 7),
             )

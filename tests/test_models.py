@@ -126,6 +126,29 @@ def test_sharded_infer_matches_single_device(model_and_vars):
         )
 
 
+def test_sharded_infer_rn_matches_single_device(model_and_vars):
+    """The full rN tiled program (regular + shifted + random passes, exact
+    chunk stream) under the 8-device mesh equals the unsharded program —
+    the multi-chip path the driver dry-runs, at the cai mode the bench
+    records (patchrefinerplus.py:551-567 sharding)."""
+    from patchrefinerv2_tpu.parallel.mesh import data_mesh
+
+    model, variables = model_and_vars
+    rng = np.random.RandomState(11)
+    image_lr = jnp.asarray(rng.rand(1, 84, 112, 3), jnp.float32)
+    image_hr = jnp.asarray(rng.rand(1, 168, 224, 3), jnp.float32)
+    seed = jax.random.PRNGKey(3)
+    d1, _ = model.infer(
+        variables, image_lr, image_hr, cai_mode="r8", process_num=8, seed=seed
+    )
+    d8, _ = model.infer(
+        variables, image_lr, image_hr, cai_mode="r8", process_num=8, seed=seed,
+        mesh=data_mesh(),
+    )
+    assert np.asarray(d8).shape == np.asarray(d1).shape
+    np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), atol=1e-5, rtol=1e-5)
+
+
 def test_infer_r4_runs_random_passes(model_and_vars):
     model, variables = model_and_vars
     rng = np.random.RandomState(2)
