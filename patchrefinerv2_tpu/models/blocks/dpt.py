@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from patchrefinerv2_tpu.models.blocks.convs import ResidualConvUnit, gelu, relu
@@ -31,12 +32,77 @@ def upsample_bilinear_ac(x, size=None, scale=2):
     return resize(x, target, mode="bilinear", align_corners=True)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv``: same names (kernel/bias),
+    shapes, and initializers, so checkpoints/converters see an identical
+    tree while the caller owns the computation (fused-kernel dispatch)."""
+
+    kshape: tuple  # (kh, kw, cin, cout)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.kshape)
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter-only stand-in for ``nn.LayerNorm`` (scale/bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return s, b
+
+
+def _conv_same(x, kernel, bias):
+    """``nn.Conv(..., padding='SAME')`` numerics with caller-owned params
+    (flax promotes input/params to a common dtype, adds bias post-conv)."""
+    dtype = jnp.promote_types(x.dtype, kernel.dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        (1, 1),
+        "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    """``nn.LayerNorm(epsilon=eps)`` numerics (f32 fast-variance stats, flax
+    op order, output cast to the promoted input/param dtype)."""
+    out_dtype = jnp.promote_types(x.dtype, scale.dtype)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    y = (xf - mean) * mul + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 class GatedConvUnit(nn.Module):
     """Residual conv with optional coarse-feature gating
     (bi_directional_fusion_model.py:26-82).
 
     out = x + conv(act(x)); if fusion: f = fusion_conv(cat(out, c_feat));
     gate => out *= sigmoid(f), else out = f.
+
+    Params are declared explicitly (same tree as the previous nn.Conv/
+    nn.LayerNorm composition: Conv_0, Conv_1, LayerNorm_0, Conv_2) so the
+    hot instances can dispatch to the fused Pallas kernel
+    (ops/fused_gcu.py, opt-in via PRV2_FUSED_GCU) without forking the
+    checkpoint layout.
     """
 
     features: int
@@ -45,20 +111,47 @@ class GatedConvUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x, c_feat=None):
-        out = relu(x)
-        out = nn.Conv(self.features, (3, 3), use_bias=True)(out)
-        out = out + x
-        if self.fusion:
-            fused = jnp.concatenate([out, c_feat], axis=-1)
-            fused = nn.Conv(self.features, (3, 3), use_bias=True)(fused)
-            fused = nn.LayerNorm(epsilon=1e-6)(fused)
-            fused = relu(fused)
-            fused = nn.Conv(self.features, (1, 1), use_bias=False)(fused)
-            if self.gate:
-                out = out * nn.sigmoid(fused)
-            else:
-                out = fused
-        return out
+        k1, b1 = _ConvParams((3, 3, x.shape[-1], self.features), name="Conv_0")()
+        if not self.fusion:
+            return _conv_same(relu(x), k1, b1) + x
+
+        cc = c_feat.shape[-1]
+        k2, b2 = _ConvParams(
+            (3, 3, self.features + cc, self.features), name="Conv_1"
+        )()
+        ln_s, ln_b = _LayerNormParams(self.features, name="LayerNorm_0")()
+        k3, _ = _ConvParams(
+            (1, 1, self.features, self.features), use_bias=False, name="Conv_2"
+        )()
+
+        from patchrefinerv2_tpu.ops.fused_gcu import (
+            fused_gcu_mode,
+            gated_conv_unit_fused,
+        )
+
+        mode = (
+            fused_gcu_mode(x.shape, self.features, x.dtype)
+            if x.shape[-1] == self.features and not self.is_initializing()
+            else ""
+        )
+        if mode:
+            k2a, k2b = k2[:, :, : self.features, :], k2[:, :, self.features :, :]
+            p2b = _conv_same(c_feat, k2b, None)
+            src = x
+            if mode == "tail":
+                src = _conv_same(relu(x), k1, b1) + x
+            return gated_conv_unit_fused(
+                src, p2b, k1, b1, k2a, b2, ln_s, ln_b, k3,
+                gate=self.gate, mode=mode,
+            )
+
+        out = _conv_same(relu(x), k1, b1) + x
+        fused = _conv_same(jnp.concatenate([out, c_feat], axis=-1), k2, b2)
+        fused = _layer_norm(fused, ln_s, ln_b)
+        fused = _conv_same(relu(fused), k3, None)
+        if self.gate:
+            return out * nn.sigmoid(fused)
+        return fused
 
 
 class GatedFusionBlock(nn.Module):
