@@ -76,11 +76,30 @@ def flagship_config(max_depth=80.0):
     )
 
 
+def _wait_for_backend(attempts=3):
+    """The axon tunnel's chip grant can transiently fail (pool contention /
+    relay restart); a failed first query poisons nothing, so retry before
+    giving up — the driver runs this file unattended at round end."""
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"backend init failed ({e}); retrying", file=sys.stderr)
+            from jax._src import xla_bridge as _xb
+
+            _xb._clear_backends()
+            _xb.get_backend.cache_clear()
+            time.sleep(60)
+
+
 def main():
     cai_mode = os.environ.get("BENCH_CAI_MODE", "r32")
     process_num = int(os.environ.get("BENCH_PROCESS_NUM", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    _wait_for_backend()
 
     model = MODELS.build(dict(type="PatchRefinerPlus", config=flagship_config()))
     variables = model.init(jax.random.PRNGKey(0))
