@@ -48,6 +48,54 @@ class UpSample(nn.Module):
         return DoubleConv(self.out_ch, self.mid_ch)(x)
 
 
+class _CNNLNParams(nn.Module):
+    """Parameter-only mirror of SingleConvCNNLN (Conv_0 kernel +
+    LayerNorm_0 scale/bias) for fused-kernel dispatch: same tree, caller
+    owns the computation."""
+
+    features: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        from patchrefinerv2_tpu.models.blocks.dpt import (
+            _ConvParams,
+            _LayerNormParams,
+        )
+
+        k, _ = _ConvParams((3, 3, self.cin, self.features), use_bias=False,
+                           name="Conv_0")()
+        s, b = _LayerNormParams(self.features, name="LayerNorm_0")()
+        return k, (s, b)
+
+
+class _UpSampleParams(nn.Module):
+    """Parameter-only mirror of UpSample's DoubleConv (DoubleConv_0/Conv_0,
+    DoubleConv_0/Conv_1)."""
+
+    out_ch: int
+    mid_ch: int
+    cin: int
+
+    @nn.compact
+    def __call__(self):
+        from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams
+
+        class _DC(nn.Module):
+            kshapes: tuple
+
+            @nn.compact
+            def __call__(self):
+                k0, _ = _ConvParams(self.kshapes[0], use_bias=False, name="Conv_0")()
+                k1, _ = _ConvParams(self.kshapes[1], use_bias=False, name="Conv_1")()
+                return k0, k1
+
+        return _DC(
+            ((3, 3, self.cin, self.mid_ch), (3, 3, self.mid_ch, self.out_ch)),
+            name="DoubleConv_0",
+        )()
+
+
 @MODELS.register_module()
 class FusionUnet(nn.Module):
     """V1 offset head (fusion_model.py:52-123)."""
@@ -171,8 +219,40 @@ class BiDirectionalFusion(nn.Module):
             f_feat = c2f_feats[::-1]  # high-res first
             pred2 = out_depth
 
+        # fused full-res tail (ops/fused_f2r.py, opt-in PRV2_FUSED_F2R):
+        # level-0 fusion pair + last UpSample DoubleConv + final_conv +
+        # clamp in one Pallas pass. Inference-only (return_feat needs the
+        # pre-final feature, and the kernel has no VJP).
+        from patchrefinerv2_tpu.ops.fused_f2r import (
+            fused_f2r_supported,
+            fused_f2r_tail,
+        )
+
+        full_hw = c_feat[0].shape[1:3]
+        n_levels = len(c_feat)
+        fuse_tail = (
+            not return_feat
+            and not self.is_initializing()
+            and n_levels == len(self.dec_chl) + 1
+            and f_feat[0].shape[1:3] == full_hw
+            and pred1.shape[1:3] == full_hw
+            and pred2.shape[1:3] == full_hw
+            and fused_f2r_supported(
+                c_feat[0].shape,
+                c_feat[0].shape[-1],
+                f_feat[0].shape[-1],
+                self.temp_chl[0],
+                self.dec_chl[-2] + self.temp_chl[0] + 2,
+                self.dec_chl[-1],
+                c_feat[0].dtype,
+            )
+        )
+
         temp_feats = []
         for idx, (c, f) in enumerate(zip(c_feat, f_feat)):
+            if idx == 0 and fuse_tail:
+                temp_feats.append(None)  # consumed inside the fused tail
+                continue
             h = SingleConvCNNLN(self.temp_chl[idx], name=f"fusion1_{idx}")(
                 jnp.concatenate([c, f], axis=-1)
             )
@@ -187,10 +267,33 @@ class BiDirectionalFusion(nn.Module):
         cur = rev[0]
         mids = list(self.temp_chl)[::-1]
         in_mid = mids[0]
-        for idx, (feat, dec_c) in enumerate(zip(rev[1:], self.dec_chl)):
+        n_dec = len(self.dec_chl) - (1 if fuse_tail else 0)
+        for idx in range(n_dec):
+            feat, dec_c = rev[1 + idx], self.dec_chl[idx]
             mid = mids[idx + 1] + in_mid + 2
             cur = UpSample(dec_c, mid, name=f"f2r_agg_{idx}")(cur, feat, pred1, pred2)
             in_mid = dec_c
+
+        if fuse_tail:
+            tc = self.temp_chl[0]
+            kA, lnA = _CNNLNParams(
+                tc, c_feat[0].shape[-1] + f_feat[0].shape[-1], name="fusion1_0"
+            )()
+            kB, lnB = _CNNLNParams(tc, tc + 2, name="fusion2_0")()
+            mid = tc + in_mid + 2
+            kC, kD = _UpSampleParams(
+                self.dec_chl[-1], mid, mid, name=f"f2r_agg_{len(self.dec_chl) - 1}"
+            )()
+            from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams
+
+            kE, _ = _ConvParams(
+                (3, 3, self.dec_chl[-1], 1), use_bias=False, name="final_conv"
+            )()
+            x1up = _interp(cur, full_hw)
+            return fused_f2r_tail(
+                c_feat[0], f_feat[0], pred1, pred2, x1up, update_base,
+                kA, lnA, kB, lnB, kC, kD, kE,
+            )
 
         offset = nn.Conv(1, (3, 3), use_bias=False, name="final_conv")(cur)
         out = jnp.maximum(update_base + offset, 0.0) if update_base is not None else offset

@@ -1,0 +1,330 @@
+"""Fused full-resolution f2r tail for BiDirectionalFusion (Pallas TPU).
+
+The V2 fusion head finishes with a chain of small-channel ops at FULL patch
+resolution (reference estimator/models/blocks/bi_directional_fusion_model.py
+:417-446 + fusion_model.py:7-35):
+
+    h1    = gelu(LN(conv3x3(cat(c0, f0), kA)))            # fusion1_0
+    h2    = gelu(LN(conv3x3(cat(h1, p1, p2), kB)))        # fusion2_0
+    d1    = gelu(conv3x3(cat(x1up, h2, p1, p2), kC))      # f2r_agg_4 DoubleConv
+    d2    = gelu(conv3x3(d1, kD))
+    off   = conv3x3(d2, kE)                               # final_conv
+    depth = max(base + off, 0)
+
+At 16 patches x 384x512 these are HBM-bound in XLA: every concat is a
+layout pass over ~0.4 GB and every 32/98-channel conv runs at a fraction
+of MXU peak (xprof round 1: the cat feeding fusion1_0 alone is ~12.5
+ms/frame and the decoder-tail chain ~17 ms — docs/performance.md). This
+kernel executes the whole chain in VMEM per (batch, row-block, col-block)
+grid step: the only HBM traffic is one haloed read of each input and one
+write of the depth map.
+
+Implementation notes:
+* Convs are im2col-over-width 3-dot contractions: one lane-concatenated
+  (rows, cols, 3*Cin) buffer per stage, one dot per row tap — few MXU
+  instructions (the ops/fused_tail.py 27-unrolled-dot compile blowup was
+  the motivating failure).
+* The concats never materialize: the im2col lane order is (dx, cin) with
+  cin following the reference concat order, and the conv kernels are
+  reshaped to match on the host side.
+* Every stage output is re-zeroed outside the true tensor before the next
+  conv (the LN bias makes out-of-tensor positions nonzero, but SAME
+  padding semantics require the next conv to read zeros — the
+  ops/fused_tail.py lesson).
+* All inputs are pre-padded on the host by the full 5-deep halo in BOTH
+  spatial axes, so every window DMA is in-bounds and the kernel does no
+  spatial padding of its own.
+* The 2x upsample of the decoder feature stays in XLA (its dense-matmul
+  form fuses with the producer conv; profiled in round 1).
+* final_conv's 1-channel output is a VPU lane-reduction, and depth moves
+  as (N, H, W) so the in/out blocks keep W on the lane axis.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_f2r_supported", "fused_f2r_tail"]
+
+_HALO = 5  # chain depth: A..E = 5 stacked 3x3 convs
+
+
+def _lanes(c):
+    return -(-c // 128) * 128
+
+
+def _vmem_need(bh, bw, c0c, f0c, tc, midc, outc, itemsize):
+    """Rough peak-live VMEM of one grid step (lane dims padded to 128)."""
+    win = (
+        (bh + 10) * (bw + 10) * _lanes(c0c)
+        + (bh + 10) * (bw + 10) * _lanes(f0c)
+        + (bh + 8) * (bw + 8) * _lanes(2)
+        + (bh + 6) * (bw + 6) * _lanes(midc - tc - 2)
+    ) * itemsize
+    stage_a = (
+        (bh + 10) * (bw + 8) * _lanes(3 * (c0c + f0c)) * itemsize  # im2col
+        + (bh + 8) * (bw + 8) * _lanes(tc) * 4  # f32 acc
+        + (bh + 8) * (bw + 8) * _lanes(tc) * itemsize  # h1
+    )
+    stage_c = (
+        (bh + 6) * (bw + 4) * _lanes(3 * midc) * itemsize
+        + (bh + 4) * (bw + 4) * _lanes(midc) * 4
+        + (bh + 4) * (bw + 4) * _lanes(midc) * itemsize
+    )
+    return win + max(stage_a, stage_c) + (bh + 6) * (bw + 6) * _lanes(tc) * itemsize
+
+
+def _pick_blocks(h, w, c0c, f0c, tc, midc, outc, itemsize):
+    budget = 11 * 1024 * 1024
+    for bw in (256, 128):
+        if w % bw:
+            continue
+        for bh in (8, 4):
+            if h % bh:
+                continue
+            if _vmem_need(bh, bw, c0c, f0c, tc, midc, outc, itemsize) < budget:
+                return bh, bw
+    return None
+
+
+def fused_f2r_supported(shape, c0_ch: int, f0_ch: int, tc: int, mid_ch: int,
+                        out_ch: int, dtype=jnp.bfloat16) -> bool:
+    if os.environ.get("PRV2_FUSED_F2R", "") in ("", "0", "false"):
+        return False
+    # inference-only: pallas_call has no VJP, and the training path runs
+    # f32 (PRV2_FUSED_FORCE lifts the dtype gate for interpret-mode tests)
+    if jnp.dtype(dtype).itemsize != 2 and not os.environ.get("PRV2_FUSED_FORCE"):
+        return False
+    n, h, w, _ = shape
+    if w % 128 or w > 1024 or h % 4 or h < 32:
+        return False
+    if max(c0_ch, f0_ch, tc, out_ch) > 128 or mid_ch > 256:
+        return False
+    return _pick_blocks(h, w, c0_ch, f0_ch, tc, mid_ch, out_ch, 2) is not None
+
+
+def _gelu(x):
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.gelu(x, approximate=False)
+
+
+@functools.lru_cache(maxsize=None)
+def _build(n, h, w, c0c, f0c, tc, midc, outc, relu_clamp, dtype_name, interpret):
+    dtype = jnp.dtype(dtype_name)
+    blocks = _pick_blocks(h, w, c0c, f0c, tc, midc, outc, dtype.itemsize)
+    if blocks is None:
+        raise ValueError(f"no block size fits VMEM for {(n, h, w)}")
+    bh, bw = blocks
+    n_hb, n_wb = h // bh, w // bw
+    x1c = midc - tc - 2
+    eps = 1e-6
+
+    def conv3dot(xim, w3, rows_out):
+        """xim: (rows_out + 2, cols, 3*Cin) width-im2col; w3: (3, 3*Cin, Co).
+        f32 result (rows_out, cols, Co)."""
+        cols = xim.shape[1]
+        co = w3.shape[-1]
+        acc = jnp.zeros((rows_out, cols, co), jnp.float32)
+        for dy in range(3):
+            acc = acc + jax.lax.dot_general(
+                xim[dy : dy + rows_out],
+                w3[dy],
+                (((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc
+
+    def im2col_w(pieces, cols_out):
+        """Width-axis im2col: lane-concat of the 3 dx-shifted slices of each
+        piece, (dx major, piece/channel minor) to match the host-reshaped
+        kernels. Pieces must share leading (rows, cols_out + 2)."""
+        parts = []
+        for dx in range(3):
+            for p in pieces:
+                parts.append(p[:, dx : dx + cols_out, :])
+        return jnp.concatenate(parts, axis=-1)
+
+    def ln_gelu(acc, s_ref, b_ref):
+        """DotLayerNorm (f32 stats) + gelu, matching SingleConvCNNLN."""
+        # round to the activation dtype first: the unfused chain's conv
+        # output is dtype before LN re-upcasts it
+        acc = acc.astype(dtype).astype(jnp.float32)
+        mean = jnp.mean(acc, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(acc * acc, axis=-1, keepdims=True) - mean * mean, 0.0)
+        y = (acc - mean) * jax.lax.rsqrt(var + eps)
+        y = y * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        return _gelu(y.astype(dtype))
+
+    def kernel(c0_hbm, f0_hbm, pp_hbm, x1_hbm, base_ref,
+               kA_ref, sA_ref, bA_ref, kB_ref, sB_ref, bB_ref,
+               kC_ref, kD_ref, kE_ref, out_ref,
+               c0_v, f0_v, pp_v, x1_v, sems):
+        ni = pl.program_id(0)
+        hi = pl.program_id(1)
+        wi = pl.program_id(2)
+        r0 = hi * bh
+        w0 = wi * bw
+
+        # haloed windows (inputs pre-padded by _HALO zeros in H and W)
+        copies = [
+            pltpu.make_async_copy(
+                c0_hbm.at[ni, pl.ds(r0, bh + 10), pl.ds(w0, bw + 10)], c0_v, sems.at[0]),
+            pltpu.make_async_copy(
+                f0_hbm.at[ni, pl.ds(r0, bh + 10), pl.ds(w0, bw + 10)], f0_v, sems.at[1]),
+            pltpu.make_async_copy(
+                pp_hbm.at[ni, pl.ds(r0 + 1, bh + 8), pl.ds(w0 + 1, bw + 8)], pp_v, sems.at[2]),
+            pltpu.make_async_copy(
+                x1_hbm.at[ni, pl.ds(r0 + 2, bh + 6), pl.ds(w0 + 2, bw + 6)], x1_v, sems.at[3]),
+        ]
+        for cp in copies:
+            cp.start()
+        for cp in copies:
+            cp.wait()
+
+        def zero_outside(y, ext):
+            """Zero positions whose tensor coords (r0 - ext + r, w0 - ext + j)
+            fall outside [0, h) x [0, w)."""
+            ry, rx = y.shape[0], y.shape[1]
+            rg = jax.lax.broadcasted_iota(jnp.int32, (ry, rx, 1), 0) + r0 - ext
+            cg = jax.lax.broadcasted_iota(jnp.int32, (ry, rx, 1), 1) + w0 - ext
+            ok = (rg >= 0) & (rg < h) & (cg >= 0) & (cg < w)
+            return y * ok.astype(y.dtype)
+
+        # ---- stage A: fusion1_0 over cat(c0, f0) -> ext 4
+        xim = im2col_w([c0_v[...], f0_v[...]], bw + 8)
+        h1 = ln_gelu(conv3dot(xim, kA_ref[...], bh + 8), sA_ref, bA_ref)
+        h1 = zero_outside(h1, 4)
+
+        # ---- stage B: fusion2_0 over cat(h1, p1, p2) -> ext 3
+        xim = im2col_w([h1, pp_v[...]], bw + 6)
+        h2 = ln_gelu(conv3dot(xim, kB_ref[...], bh + 6), sB_ref, bB_ref)
+        h2 = zero_outside(h2, 3)
+
+        # ---- stage C: DoubleConv Conv_0 over cat(x1up, h2, p1, p2) -> ext 2
+        ppc = pp_v[1:-1, 1:-1, :]
+        xim = im2col_w([x1_v[...], h2, ppc], bw + 4)
+        d1 = _gelu(conv3dot(xim, kC_ref[...], bh + 4).astype(dtype))
+        d1 = zero_outside(d1, 2)
+
+        # ---- stage D: DoubleConv Conv_1 -> ext 1
+        xim = im2col_w([d1], bw + 2)
+        d2 = _gelu(conv3dot(xim, kD_ref[...], bh + 2).astype(dtype))
+        d2 = zero_outside(d2, 1)
+
+        # ---- stage E: final_conv (1 channel) as a VPU lane-reduce
+        xim = im2col_w([d2], bw)  # (bh+2, bw, 3*outc)
+        kE = kE_ref[...].astype(jnp.float32)  # (3, 3*outc)
+        off = jnp.zeros((bh, bw), jnp.float32)
+        for dy in range(3):
+            off = off + jnp.sum(
+                xim[dy : dy + bh].astype(jnp.float32) * kE[dy][None, None, :],
+                axis=-1,
+            )
+        res = base_ref[0].astype(jnp.float32) + off
+        if relu_clamp:
+            res = jnp.maximum(res, 0.0)
+        out_ref[0] = res.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n, n_hb, n_wb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # c0, pre-padded
+            pl.BlockSpec(memory_space=pl.ANY),  # f0
+            pl.BlockSpec(memory_space=pl.ANY),  # pp = cat(p1, p2)
+            pl.BlockSpec(memory_space=pl.ANY),  # x1up
+            pl.BlockSpec((1, bh, bw), lambda ni, hi, wi: (ni, hi, wi)),  # base
+            pl.BlockSpec((3, 3 * (c0c + f0c), tc), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((1, tc), lambda *_: (0, 0)),
+            pl.BlockSpec((1, tc), lambda *_: (0, 0)),
+            pl.BlockSpec((3, 3 * (tc + 2), tc), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((1, tc), lambda *_: (0, 0)),
+            pl.BlockSpec((1, tc), lambda *_: (0, 0)),
+            pl.BlockSpec((3, 3 * midc, midc), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((3, 3 * midc, outc), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((3, 3 * outc), lambda *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, bw), lambda ni, hi, wi: (ni, hi, wi)),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 10, bw + 10, c0c), dtype),
+            pltpu.VMEM((bh + 10, bw + 10, f0c), dtype),
+            pltpu.VMEM((bh + 8, bw + 8, 2), dtype),
+            pltpu.VMEM((bh + 6, bw + 6, x1c), dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * (9 * (c0c + f0c) * tc + 9 * (tc + 2) * tc
+                                   + 9 * midc * midc + 9 * midc * outc + 9 * outc),
+            bytes_accessed=n * h * w * (c0c + f0c + x1c + 4) * dtype.itemsize,
+            transcendentals=4 * n * h * w * tc,
+        ),
+    )
+
+
+def _k3(kernel):
+    """(3, 3, Cin, Cout) HWIO -> (3, 3*Cin, Cout): dy rows, (dx, cin) lane
+    order matching the width-im2col concat."""
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (3, 3)
+    return kernel.reshape(3, 3 * cin, cout)
+
+
+def fused_f2r_tail(c0, f0, pred1, pred2, x1up, base, kA, lnA, kB, lnB,
+                   kC, kD, kE, relu_clamp=True, interpret=None):
+    """Run the fused tail.
+
+    c0/f0: (N,H,W,Cc)/(N,H,W,Cf) level-0 coarse/fine features; pred1/pred2:
+    (N,H,W,1); x1up: (N,H,W,Cx) the 2x-upsampled decoder feature; base:
+    (N,H,W,1) update base (None -> zeros, no clamp); kA..kE: HWIO conv
+    kernels; lnA/lnB: (scale, bias) pairs. Returns depth (N, H, W, 1).
+    """
+    n, h, w, c0c = c0.shape
+    f0c = f0.shape[-1]
+    tc = kA.shape[-1]
+    midc = x1up.shape[-1] + tc + 2
+    outc = kD.shape[-1]
+    dt = c0.dtype
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if base is None:
+        base = jnp.zeros((n, h, w, 1), dt)
+        relu_clamp = False
+
+    pad5 = ((0, 0), (_HALO, _HALO), (_HALO, _HALO), (0, 0))
+    pp = jnp.concatenate([pred1, pred2], axis=-1).astype(dt)
+    call = _build(n, h, w, c0c, f0c, tc, midc, outc, bool(relu_clamp),
+                  jnp.dtype(dt).name, bool(interpret))
+    depth = call(
+        jnp.pad(c0, pad5),
+        jnp.pad(f0.astype(dt), pad5),
+        jnp.pad(pp, pad5),
+        jnp.pad(x1up.astype(dt), pad5),
+        base[..., 0].astype(dt),
+        _k3(kA).astype(dt),
+        lnA[0].reshape(1, -1).astype(dt),
+        lnA[1].reshape(1, -1).astype(dt),
+        _k3(kB).astype(dt),
+        lnB[0].reshape(1, -1).astype(dt),
+        lnB[1].reshape(1, -1).astype(dt),
+        _k3(kC).astype(dt),
+        _k3(kD).astype(dt),
+        _k3(kE).reshape(3, 3 * outc).astype(dt),
+    )
+    return depth[..., None]

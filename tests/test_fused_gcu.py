@@ -141,7 +141,19 @@ def test_module_dispatches_fused(monkeypatch):
     params = m.init(jax.random.PRNGKey(0), x, cf)
     base = m.apply(params, x, cf)
     monkeypatch.setenv("PRV2_FUSED_GCU", "full")
+    monkeypatch.setenv("PRV2_FUSED_FORCE", "1")  # f32 dispatch for the test
+    calls = []
+    import patchrefinerv2_tpu.ops.fused_gcu as fg
+
+    orig = fg.gated_conv_unit_fused
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fg, "gated_conv_unit_fused", spy)
     fused = m.apply(params, x, cf)
+    assert calls, "fused kernel was not dispatched"
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(base), rtol=2e-4, atol=2e-4
     )
