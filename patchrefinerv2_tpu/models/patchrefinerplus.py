@@ -533,14 +533,19 @@ class PatchRefinerPlus:
             (regular_pass(tile_cfg, off, process_num), process_num)
             for off in regular_offsets
         ]
-        if mesh is None and len(passes) > 1:
+        if len(passes) > 1:
             # merge the three shifted passes into one stream and re-chunk it
             # as process_num chunks + a granule-rounded remainder (16+16+8
             # instead of 3x16 at 4x4/16) — blending is commutative
-            # scatter-add, so pass order doesn't matter. Under a mesh the
-            # chunk must stay divisible by the device count, so the per-pass
-            # process_num padding is kept there.
-            passes = [passes[0]] + merge_passes([p for p, _ in passes[1:]], process_num)
+            # scatter-add, so pass order doesn't matter. Under a mesh every
+            # chunk must stay divisible by the device count (each device
+            # refines chunk/n patches); fall back to per-pass padding when
+            # the remainder chunk doesn't split evenly.
+            merged = [passes[0]] + merge_passes([p for p, _ in passes[1:]], process_num)
+            if mesh is None or all(
+                chunk % mesh.devices.size == 0 for _, chunk in merged
+            ):
+                passes = merged
         n_random_iters = (
             int(cai_mode[1:]) // process_num if cai_mode.startswith("r") else 0
         )
