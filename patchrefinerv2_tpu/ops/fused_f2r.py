@@ -61,8 +61,9 @@ def _lanes(c):
 
 
 def _vmem_need(bh, bw, c0c, f0c, tc, midc, outc, itemsize):
-    """Rough peak-live VMEM of one grid step (lane dims padded to 128)."""
-    win = (
+    """Rough peak-live VMEM of one grid step (lane dims padded to 128;
+    windows double-buffered for the cross-step prefetch)."""
+    win = 2 * (
         (bh + 10) * (bw + 10) * _lanes(c0c)
         + (bh + 10) * (bw + 10) * _lanes(f0c)
         + (bh + 8) * (bw + 8) * _lanes(2)
@@ -173,21 +174,51 @@ def _build(n, h, w, c0c, f0c, tc, midc, outc, relu_clamp, dtype_name, interpret)
         r0 = hi * bh
         w0 = wi * bw
 
-        # haloed windows (inputs pre-padded by _HALO zeros in H and W)
-        copies = [
-            pltpu.make_async_copy(
-                c0_hbm.at[ni, pl.ds(r0, bh + 10), pl.ds(w0, bw + 10)], c0_v, sems.at[0]),
-            pltpu.make_async_copy(
-                f0_hbm.at[ni, pl.ds(r0, bh + 10), pl.ds(w0, bw + 10)], f0_v, sems.at[1]),
-            pltpu.make_async_copy(
-                pp_hbm.at[ni, pl.ds(r0 + 1, bh + 8), pl.ds(w0 + 1, bw + 8)], pp_v, sems.at[2]),
-            pltpu.make_async_copy(
-                x1_hbm.at[ni, pl.ds(r0 + 2, bh + 6), pl.ds(w0 + 2, bw + 6)], x1_v, sems.at[3]),
-        ]
-        for cp in copies:
-            cp.start()
-        for cp in copies:
+        # haloed windows (inputs pre-padded by _HALO zeros in H and W),
+        # double-buffered: step i waits on the copies step i-1 started and
+        # prefetches step i+1's windows before computing
+        lin = (ni * n_hb + hi) * n_wb + wi
+        slot = jax.lax.rem(lin, 2)
+
+        def window_dmas(b_ni, b_hi, b_wi, b_slot):
+            br, bw0 = b_hi * bh, b_wi * bw
+            return [
+                pltpu.make_async_copy(
+                    c0_hbm.at[b_ni, pl.ds(br, bh + 10), pl.ds(bw0, bw + 10)],
+                    c0_v.at[b_slot], sems.at[b_slot, 0]),
+                pltpu.make_async_copy(
+                    f0_hbm.at[b_ni, pl.ds(br, bh + 10), pl.ds(bw0, bw + 10)],
+                    f0_v.at[b_slot], sems.at[b_slot, 1]),
+                pltpu.make_async_copy(
+                    pp_hbm.at[b_ni, pl.ds(br + 1, bh + 8), pl.ds(bw0 + 1, bw + 8)],
+                    pp_v.at[b_slot], sems.at[b_slot, 2]),
+                pltpu.make_async_copy(
+                    x1_hbm.at[b_ni, pl.ds(br + 2, bh + 6), pl.ds(bw0 + 2, bw + 6)],
+                    x1_v.at[b_slot], sems.at[b_slot, 3]),
+            ]
+
+        @pl.when(lin == 0)
+        def _():
+            for cp in window_dmas(ni, hi, wi, slot):
+                cp.start()
+
+        for cp in window_dmas(ni, hi, wi, slot):
             cp.wait()
+
+        nxt = lin + 1
+
+        @pl.when(nxt < n * n_hb * n_wb)
+        def _():
+            n_ni = nxt // (n_hb * n_wb)
+            rem = jax.lax.rem(nxt, n_hb * n_wb)
+            for cp in window_dmas(n_ni, rem // n_wb, jax.lax.rem(rem, n_wb),
+                                  jax.lax.rem(nxt, 2)):
+                cp.start()
+
+        c0_w = c0_v[slot]
+        f0_w = f0_v[slot]
+        pp_w = pp_v[slot]
+        x1_w = x1_v[slot]
 
         def zero_outside(y, ext):
             """Zero positions whose tensor coords (r0 - ext + r, w0 - ext + j)
@@ -199,18 +230,18 @@ def _build(n, h, w, c0c, f0c, tc, midc, outc, relu_clamp, dtype_name, interpret)
             return y * ok.astype(y.dtype)
 
         # ---- stage A: fusion1_0 over cat(c0, f0) -> ext 4
-        xim = im2col_w([c0_v[...], f0_v[...]], bw + 8)
+        xim = im2col_w([c0_w, f0_w], bw + 8)
         h1 = ln_gelu(conv3dot(xim, kA_ref[...], bh + 8), sA_ref, bA_ref)
         h1 = zero_outside(h1, 4)
 
         # ---- stage B: fusion2_0 over cat(h1, p1, p2) -> ext 3
-        xim = im2col_w([h1, pp_v[...]], bw + 6)
+        xim = im2col_w([h1, pp_w], bw + 6)
         h2 = ln_gelu(conv3dot(xim, kB_ref[...], bh + 6), sB_ref, bB_ref)
         h2 = zero_outside(h2, 3)
 
         # ---- stage C: DoubleConv Conv_0 over cat(x1up, h2, p1, p2) -> ext 2
-        ppc = pp_v[1:-1, 1:-1, :]
-        xim = im2col_w([x1_v[...], h2, ppc], bw + 4)
+        ppc = pp_w[1:-1, 1:-1, :]
+        xim = im2col_w([x1_w, h2, ppc], bw + 4)
         d1 = _gelu(conv3dot(xim, kC_ref[...], bh + 4).astype(dtype))
         d1 = zero_outside(d1, 2)
 
@@ -254,11 +285,11 @@ def _build(n, h, w, c0c, f0c, tc, midc, outc, relu_clamp, dtype_name, interpret)
         ],
         out_specs=pl.BlockSpec((1, bh, bw), lambda ni, hi, wi: (ni, hi, wi)),
         scratch_shapes=[
-            pltpu.VMEM((bh + 10, bw + 10, c0c), dtype),
-            pltpu.VMEM((bh + 10, bw + 10, f0c), dtype),
-            pltpu.VMEM((bh + 8, bw + 8, 2), dtype),
-            pltpu.VMEM((bh + 6, bw + 6, x1c), dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, bh + 10, bw + 10, c0c), dtype),
+            pltpu.VMEM((2, bh + 10, bw + 10, f0c), dtype),
+            pltpu.VMEM((2, bh + 8, bw + 8, 2), dtype),
+            pltpu.VMEM((2, bh + 6, bw + 6, x1c), dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
     return pl.pallas_call(
