@@ -57,9 +57,12 @@ def fused_gcu_mode(shape, features: int, dtype) -> str:
         return ""
     mode = "tail" if flag == "tail" else "full"
     n, h, w, c = shape
-    if c != features or c % 128 or c > 512:
+    # c >= 128 runs plain 3D dots (lane-aligned); smaller channel counts
+    # use the width-im2col 3-dot form (e.g. the 32-ch full-res
+    # output_conv2_fusion instance)
+    if c != features or c > 512 or (c % 128 and (c > 96 or c % 8)):
         return ""
-    if w % 128 or w > 512:
+    if w % 128 or w > 1024:
         return ""
     if h % 8 or h < 16:
         return ""
@@ -70,19 +73,27 @@ def fused_gcu_mode(shape, features: int, dtype) -> str:
     return mode
 
 
+def _lanes(c):
+    return -(-c // 128) * 128
+
+
 def _pick_bh(h: int, w: int, c: int, itemsize: int) -> int:
     """Row-block size: keep the window + f32 accumulators + double-buffered
-    blocks inside mosaic's ~16 MB scoped-VMEM ceiling."""
+    blocks inside mosaic's ~16 MB scoped-VMEM ceiling (lane dims pad to
+    128, which dominates for small channel counts)."""
     budget = 11 * 1024 * 1024
+    cl = _lanes(c)
+    im2col = _lanes(3 * c) if c < 128 else 0  # small-C im2col buffer lanes
     for bh in (16, 8, 4):
         if h % bh:
             continue
         need = (
-            2 * (bh + 4) * w * c * itemsize  # x window, double-buffered
-            + 2 * 2 * bh * w * c * itemsize  # p2b + out blocks, double-buffered
-            + (bh + 4) * (w + 4) * c * itemsize  # padded/relu'd window
-            + (bh + 2) * (w + 2) * c * (itemsize + 4)  # out_ext + f32 acc
-            + bh * w * c * 4 * 2  # conv2 acc + LN temps
+            2 * (bh + 4) * w * cl * itemsize  # x window, double-buffered
+            + 2 * 2 * bh * w * cl * itemsize  # p2b + out blocks, double-buffered
+            + (bh + 4) * (w + 4) * cl * itemsize  # padded/relu'd window
+            + (bh + 2) * (w + 2) * cl * (itemsize + 4)  # out_ext + f32 acc
+            + (bh + 4) * (w + 2) * im2col * itemsize  # im2col (small C)
+            + bh * w * cl * 4 * 2  # conv2 acc + LN temps
         )
         if need < budget:
             return bh
@@ -99,6 +110,9 @@ def _build(n, h, w, c, mode, gate, dtype_name, interpret):
     win = bh + 2 * halo
     n_hb = h // bh
     eps = 1e-6
+    small = c < 128
+    kshape = (3, 3 * c, c) if small else (3, 3, c, c)
+    kmap = (lambda ni, hi: (0, 0, 0)) if small else (lambda ni, hi: (0, 0, 0, 0))
 
     def kernel(xp_hbm, p2b_ref, k1_ref, b1_ref, k2a_ref, b2_ref, ls_ref,
                lb_ref, k3_ref, out_ref, x_vmem, sem):
@@ -126,7 +140,24 @@ def _build(n, h, w, c, mode, gate, dtype_name, interpret):
             band_dma(nxt // n_hb, jax.lax.rem(nxt, n_hb), jax.lax.rem(nxt, 2)).start()
 
         def conv3x3(src, w_ref, rows, cols):
-            """9-tap SAME conv: src is (rows+2, cols+2, C) pre-padded; f32."""
+            """9-tap SAME conv: src is (rows+2, cols+2, C) pre-padded; f32.
+
+            c >= 128: 9 lane-aligned 3D dots with the HWIO weights.
+            c < 128: width-im2col (lanes 3C) + one dot per row tap, so the
+            MXU sees a 3x fatter K instead of a 4x lane-padded one."""
+            if small:
+                xim = jnp.concatenate(
+                    [src[:, dx : dx + cols, :] for dx in range(3)], axis=-1
+                )
+                acc = jnp.zeros((rows, cols, c), jnp.float32)
+                for dy in range(3):
+                    acc = acc + jax.lax.dot_general(
+                        xim[dy : dy + rows],
+                        w_ref[dy],
+                        (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                return acc
             acc = jnp.zeros((rows, cols, c), jnp.float32)
             for dy in range(3):
                 for dx in range(3):
@@ -184,9 +215,9 @@ def _build(n, h, w, c, mode, gate, dtype_name, interpret):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # pre-padded x / out
             pl.BlockSpec((1, bh, w, c), lambda ni, hi: (ni, hi, 0, 0)),
-            pl.BlockSpec((3, 3, c, c), lambda ni, hi: (0, 0, 0, 0)),
+            pl.BlockSpec(kshape, kmap),
             pl.BlockSpec((1, c), lambda ni, hi: (0, 0)),
-            pl.BlockSpec((3, 3, c, c), lambda ni, hi: (0, 0, 0, 0)),
+            pl.BlockSpec(kshape, kmap),
             pl.BlockSpec((1, c), lambda ni, hi: (0, 0)),
             pl.BlockSpec((1, c), lambda ni, hi: (0, 0)),
             pl.BlockSpec((1, c), lambda ni, hi: (0, 0)),
@@ -233,6 +264,9 @@ def gated_conv_unit_fused(x, p2b, k1, b1, k2a, b2, ln_scale, ln_bias, k3,
     call = _build(n, h, w, c, mode, bool(gate), jnp.dtype(x.dtype).name,
                   bool(interpret))
     dt = x.dtype
+    if c < 128:  # width-im2col weights: (3, 3*Cin, Cout), (dx, cin) lanes
+        k1 = k1.reshape(3, 3 * c, c)
+        k2a = k2a.reshape(3, 3 * c, c)
     return call(
         xp,
         p2b.astype(dt),

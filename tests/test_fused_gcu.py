@@ -88,8 +88,8 @@ def _xla_chain(x, c_feat, p, gate):
 
 @pytest.mark.parametrize("mode", ["full", "tail"])
 @pytest.mark.parametrize("gate", [True, False])
-def test_fused_kernel_matches_chain(mode, gate):
-    c, cc = 128, 128
+@pytest.mark.parametrize("c,cc", [(128, 128), (32, 32)])
+def test_fused_kernel_matches_chain(mode, gate, c, cc):
     n, h, w = 2, 24, 128
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(jax.random.PRNGKey(1), (n, h, w, c)) * 0.5
