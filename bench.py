@@ -76,22 +76,32 @@ def flagship_config(max_depth=80.0):
     )
 
 
-def _wait_for_backend(attempts=3):
-    """The axon tunnel's chip grant can transiently fail (pool contention /
-    relay restart); a failed first query poisons nothing, so retry before
-    giving up — the driver runs this file unattended at round end."""
+def _wait_for_backend(attempts=2, probe_timeout=900):
+    """The tunneled chip grant can transiently fail OR hang (pool
+    contention / relay restart — a dead relay blocks jax.devices() on the
+    grant wait for ~30 min instead of erroring). Probe in a subprocess
+    with a hard timeout first: a killed probe abandons its claim without
+    poisoning this process. The driver runs this file unattended at round
+    end, so bound the total wait."""
+    import subprocess
+
+    err = "backend probe failed"
     for i in range(attempts):
         try:
-            return jax.devices()
-        except RuntimeError as e:
-            if i == attempts - 1:
-                raise
-            print(f"backend init failed ({e}); retrying", file=sys.stderr)
-            from jax._src import xla_bridge as _xb
-
-            _xb._clear_backends()
-            _xb.get_backend.cache_clear()
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices(); print('devok')"],
+                capture_output=True, timeout=probe_timeout, text=True,
+            )
+            if probe.returncode == 0 and "devok" in probe.stdout:
+                return jax.devices()
+            if probe.stderr:
+                err = probe.stderr.strip().splitlines()[-1]
+        except subprocess.TimeoutExpired:
+            err = f"backend probe timed out after {probe_timeout}s"
+        if i < attempts - 1:
+            print(f"{err}; retrying", file=sys.stderr)
             time.sleep(60)
+    raise RuntimeError(f"TPU backend unavailable: {err}")
 
 
 def main():
