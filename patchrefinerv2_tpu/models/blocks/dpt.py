@@ -39,10 +39,12 @@ class _ConvParams(nn.Module):
 
     kshape: tuple  # (kh, kw, cin, cout)
     use_bias: bool = True
+    kernel_init: object = None  # default: nn.Conv's lecun_normal
 
     @nn.compact
     def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(), self.kshape)
+        init = self.kernel_init or nn.initializers.lecun_normal()
+        k = self.param("kernel", init, self.kshape)
         b = (
             self.param("bias", nn.initializers.zeros, (self.kshape[-1],))
             if self.use_bias
@@ -61,6 +63,36 @@ class _LayerNormParams(nn.Module):
         s = self.param("scale", nn.initializers.ones, (self.features,))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return s, b
+
+
+class _GatedFusionBlockParams(nn.Module):
+    """Parameter-only mirror of a no-skip GatedFusionBlock: its single
+    GatedConvUnit (Conv_0/Conv_1/LayerNorm_0/Conv_2) plus the 1x1 out conv
+    (Conv_0 at block scope) — same tree as the module composition."""
+
+    features: int
+    coarse_ch: int
+
+    @nn.compact
+    def __call__(self):
+        c = self.features
+
+        class _GCU(nn.Module):
+            coarse_ch: int
+
+            @nn.compact
+            def __call__(s):
+                k1, b1 = _ConvParams((3, 3, c, c), name="Conv_0")()
+                k2, b2 = _ConvParams((3, 3, c + s.coarse_ch, c), name="Conv_1")()
+                ln = _LayerNormParams(c, name="LayerNorm_0")()
+                k3, _ = _ConvParams((1, 1, c, c), use_bias=False, name="Conv_2")()
+                return dict(k1=k1, b1=b1, k2=k2, b2=b2, ln=ln, k3=k3)
+
+        p = _GCU(self.coarse_ch, name="GatedConvUnit_0")()
+        kGF, bGF = _ConvParams((1, 1, c, c), name="Conv_0")()
+        p["kGF"] = kGF
+        p["bGF"] = bGF
+        return p
 
 
 def _conv_same(x, kernel, bias):
@@ -275,6 +307,43 @@ class C2FModule(nn.Module):
         p1 = GatedFusionBlock(self.features, g, f, name="refinenet1")(
             p2, l1rn, coarse_feat=coarse_features[1]
         )
+
+        # fused out-head (ops/fused_f2r.py fused_c2f_head, opt-in via
+        # PRV2_FUSED_C2F_HEAD): output_conv1/2 + the full-res 32-ch
+        # GatedFusionBlock + output_conv3 in one Pallas pass. Only for the
+        # gated/fusion variants whose chain the kernel implements.
+        from patchrefinerv2_tpu.ops.fused_f2r import (
+            fused_c2f_head,
+            fused_c2f_head_supported,
+        )
+
+        c0 = coarse_features[0]
+        fuse_head = (
+            f
+            and not self.is_initializing()
+            and c0.shape[1:3] == p1.shape[1:3]
+            and fused_c2f_head_supported(
+                p1.shape, self.features // 2, self.head2_features,
+                c0.shape[-1], p1.dtype,
+            )
+        )
+        if fuse_head:
+            cm, ct = self.features // 2, self.head2_features
+            kO1, bO1 = _ConvParams((3, 3, p1.shape[-1], cm), name="output_conv1")()
+            kO2, bO2 = _ConvParams((3, 3, cm, ct), name="output_conv2")()
+            gcu_p = _GatedFusionBlockParams(ct, c0.shape[-1],
+                                            name="output_conv2_fusion")()
+            kO3, bO3 = _ConvParams(
+                (1, 1, ct, 1), kernel_init=_mean_one_normal_init,
+                name="output_conv3",
+            )()
+            last_feat, out = fused_c2f_head(
+                p1, c0, kO1, bO1, kO2, bO2,
+                gcu_p["k1"], gcu_p["b1"], gcu_p["k2"], gcu_p["b2"],
+                gcu_p["ln"], gcu_p["k3"], gcu_p["kGF"], gcu_p["bGF"],
+                kO3, bO3, gate=g,
+            )
+            return [l5rn, p5, p4, p3, p2, last_feat], out
 
         out = nn.Conv(self.features // 2, (3, 3), name="output_conv1")(p1)
         last_feat = relu(nn.Conv(self.head2_features, (3, 3), name="output_conv2")(out))

@@ -117,6 +117,33 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def _conv3dot(xim, w3, rows_out):
+    """xim: (rows_out + 2, cols, 3*Cin) width-im2col; w3: (3, 3*Cin, Co).
+    f32 result (rows_out, cols, Co)."""
+    cols = xim.shape[1]
+    co = w3.shape[-1]
+    acc = jnp.zeros((rows_out, cols, co), jnp.float32)
+    for dy in range(3):
+        acc = acc + jax.lax.dot_general(
+            xim[dy : dy + rows_out],
+            w3[dy],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    return acc
+
+
+def _im2col_w(pieces, cols_out):
+    """Width-axis im2col: lane-concat of the 3 dx-shifted slices of each
+    piece, (dx major, piece/channel minor) to match the host-reshaped
+    kernels. Pieces must share leading (rows, cols_out + 2)."""
+    parts = []
+    for dx in range(3):
+        for p in pieces:
+            parts.append(p[:, dx : dx + cols_out, :])
+    return jnp.concatenate(parts, axis=-1)
+
+
 @functools.lru_cache(maxsize=None)
 def _build(n, h, w, c0c, f0c, tc, midc, outc, relu_clamp, dtype_name, interpret):
     dtype = jnp.dtype(dtype_name)
@@ -128,30 +155,8 @@ def _build(n, h, w, c0c, f0c, tc, midc, outc, relu_clamp, dtype_name, interpret)
     x1c = midc - tc - 2
     eps = 1e-6
 
-    def conv3dot(xim, w3, rows_out):
-        """xim: (rows_out + 2, cols, 3*Cin) width-im2col; w3: (3, 3*Cin, Co).
-        f32 result (rows_out, cols, Co)."""
-        cols = xim.shape[1]
-        co = w3.shape[-1]
-        acc = jnp.zeros((rows_out, cols, co), jnp.float32)
-        for dy in range(3):
-            acc = acc + jax.lax.dot_general(
-                xim[dy : dy + rows_out],
-                w3[dy],
-                (((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        return acc
-
-    def im2col_w(pieces, cols_out):
-        """Width-axis im2col: lane-concat of the 3 dx-shifted slices of each
-        piece, (dx major, piece/channel minor) to match the host-reshaped
-        kernels. Pieces must share leading (rows, cols_out + 2)."""
-        parts = []
-        for dx in range(3):
-            for p in pieces:
-                parts.append(p[:, dx : dx + cols_out, :])
-        return jnp.concatenate(parts, axis=-1)
+    conv3dot = _conv3dot
+    im2col_w = _im2col_w
 
     def ln_gelu(acc, s_ref, b_ref):
         """DotLayerNorm (f32 stats) + gelu, matching SingleConvCNNLN."""
@@ -359,3 +364,269 @@ def fused_f2r_tail(c0, f0, pred1, pred2, x1up, base, kA, lnA, kB, lnB,
         _k3(kE).reshape(3, 3 * outc).astype(dt),
     )
     return depth[..., None]
+
+
+# --------------------------------------------------------------------------
+# Fused C2F out-head: the other full-resolution chain of the V2 fusion head
+# (bi_directional_fusion_model.py:176-207 output_conv1 -> output_conv2 ->
+# GatedFusionBlock(head2, upscale=False) -> output_conv3):
+#
+#     o1  = conv3x3(p1, kO1) + bO1                  # 256 -> 128
+#     lf0 = relu(conv3x3(o1, kO2) + bO2)            # 128 -> 32
+#     g1  = lf0 + conv3x3(relu(lf0), kG1) + bG1     # GCU residual conv
+#     f   = conv3x3(cat(g1, c0), kG2) + bG2         # GCU fusion conv
+#     f   = conv1x1(relu(LN(f)), kG3)
+#     y   = g1 * sigmoid(f)        (gate)  else  y = f
+#     lf  = conv1x1(y, kGF) + bGF                   # GatedFusionBlock out
+#     out = conv1x1(lf, kO3) + bO3                  # output_conv3 (1 ch)
+#
+# Same machinery as the f2r tail: width-im2col 3-dot convs, haloed
+# double-buffered window DMAs, out-of-tensor re-zeroing between SAME convs.
+# p1 (the refinenet1 output) is the only large input — read once.
+# --------------------------------------------------------------------------
+
+_HEAD_HALO = 4  # o1, o2, gcu-conv1, gcu-conv2
+
+
+def _head_vmem_need(bh, bw, cp, cm, ct, cc, itemsize):
+    win = 2 * (
+        (bh + 8) * (bw + 8) * _lanes(cp) + (bh + 2) * (bw + 2) * _lanes(cc)
+    ) * itemsize
+    stage_o1 = (
+        (bh + 8) * (bw + 6) * _lanes(3 * cp) * itemsize
+        + (bh + 6) * (bw + 6) * _lanes(cm) * (4 + itemsize)
+    )
+    stage_o2 = (
+        (bh + 6) * (bw + 4) * _lanes(3 * cm) * itemsize
+        + (bh + 4) * (bw + 4) * _lanes(ct) * (4 + itemsize)
+    )
+    return win + max(stage_o1, stage_o2) + (bh + 4) * (bw + 4) * _lanes(ct) * itemsize
+
+
+def _head_pick_blocks(h, w, cp, cm, ct, cc, itemsize):
+    budget = 11 * 1024 * 1024
+    for bw in (256, 128):
+        if w % bw:
+            continue
+        for bh in (8, 4):
+            if h % bh:
+                continue
+            if _head_vmem_need(bh, bw, cp, cm, ct, cc, itemsize) < budget:
+                return bh, bw
+    return None
+
+
+def fused_c2f_head_supported(shape, cm: int, ct: int, cc: int,
+                             dtype=jnp.bfloat16) -> bool:
+    if os.environ.get("PRV2_FUSED_C2F_HEAD", "") in ("", "0", "false"):
+        return False
+    if jnp.dtype(dtype).itemsize != 2 and not os.environ.get("PRV2_FUSED_FORCE"):
+        return False
+    n, h, w, cp = shape
+    if w % 128 or w > 1024 or h % 4 or h < 32:
+        return False
+    if cp > 512 or cp % 128 or cm % 128 or ct > 128 or cc > 128:
+        return False
+    return _head_pick_blocks(h, w, cp, cm, ct, cc, 2) is not None
+
+
+@functools.lru_cache(maxsize=None)
+def _build_head(n, h, w, cp, cm, ct, cc, gate, dtype_name, interpret):
+    dtype = jnp.dtype(dtype_name)
+    blocks = _head_pick_blocks(h, w, cp, cm, ct, cc, dtype.itemsize)
+    if blocks is None:
+        raise ValueError(f"no block size fits VMEM for {(n, h, w)}")
+    bh, bw = blocks
+    n_hb, n_wb = h // bh, w // bw
+    eps = 1e-6
+
+    def kernel(p1_hbm, c0_hbm,
+               kO1_ref, bO1_ref, kO2_ref, bO2_ref,
+               kG1_ref, bG1_ref, kG2_ref, bG2_ref, sG_ref, bG_ref, kG3_ref,
+               kGF_ref, bGF_ref, kO3_ref, bO3_ref,
+               lf_ref, out_ref,
+               p1_v, c0_v, sems):
+        ni = pl.program_id(0)
+        hi = pl.program_id(1)
+        wi = pl.program_id(2)
+        r0 = hi * bh
+        w0 = wi * bw
+        lin = (ni * n_hb + hi) * n_wb + wi
+        slot = jax.lax.rem(lin, 2)
+
+        def window_dmas(b_ni, b_hi, b_wi, b_slot):
+            br, bw0 = b_hi * bh, b_wi * bw
+            return [
+                pltpu.make_async_copy(
+                    p1_hbm.at[b_ni, pl.ds(br, bh + 8), pl.ds(bw0, bw + 8)],
+                    p1_v.at[b_slot], sems.at[b_slot, 0]),
+                pltpu.make_async_copy(
+                    c0_hbm.at[b_ni, pl.ds(br + 3, bh + 2), pl.ds(bw0 + 3, bw + 2)],
+                    c0_v.at[b_slot], sems.at[b_slot, 1]),
+            ]
+
+        @pl.when(lin == 0)
+        def _():
+            for cp_ in window_dmas(ni, hi, wi, slot):
+                cp_.start()
+
+        for cp_ in window_dmas(ni, hi, wi, slot):
+            cp_.wait()
+
+        nxt = lin + 1
+
+        @pl.when(nxt < n * n_hb * n_wb)
+        def _():
+            rem = jax.lax.rem(nxt, n_hb * n_wb)
+            for cp_ in window_dmas(nxt // (n_hb * n_wb), rem // n_wb,
+                                   jax.lax.rem(rem, n_wb), jax.lax.rem(nxt, 2)):
+                cp_.start()
+
+        def zero_outside(y, ext):
+            ry, rx = y.shape[0], y.shape[1]
+            rg = jax.lax.broadcasted_iota(jnp.int32, (ry, rx, 1), 0) + r0 - ext
+            cg = jax.lax.broadcasted_iota(jnp.int32, (ry, rx, 1), 1) + w0 - ext
+            ok = (rg >= 0) & (rg < h) & (cg >= 0) & (cg < w)
+            return y * ok.astype(y.dtype)
+
+        f32 = jnp.float32
+
+        # ---- output_conv1 (256 -> 128), ext 3
+        xim = _im2col_w([p1_v[slot]], bw + 6)
+        o1 = (_conv3dot(xim, kO1_ref[...], bh + 6)
+              + bO1_ref[0].astype(f32)).astype(dtype)
+        o1 = zero_outside(o1, 3)
+
+        # ---- output_conv2 (128 -> 32) + relu, ext 2
+        xim = _im2col_w([o1], bw + 4)
+        lf0 = (_conv3dot(xim, kO2_ref[...], bh + 4)
+               + bO2_ref[0].astype(f32)).astype(dtype)
+        lf0 = zero_outside(jnp.maximum(lf0, 0.0), 2)
+
+        # ---- GCU residual conv, ext 1
+        xim = _im2col_w([jnp.maximum(lf0, 0.0)], bw + 2)
+        g1 = (_conv3dot(xim, kG1_ref[...], bh + 2)
+              + bG1_ref[0].astype(f32)).astype(dtype)
+        g1 = g1 + lf0[1:-1, 1:-1, :]
+        g1 = zero_outside(g1, 1)
+
+        # ---- GCU fusion conv over cat(g1, c0) + LN + relu + 1x1 + gate
+        xim = _im2col_w([g1, c0_v[slot]], bw)
+        f = (_conv3dot(xim, kG2_ref[...], bh)
+             + bG2_ref[0].astype(f32)).astype(dtype)
+        xf = f.astype(f32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean, 0.0)
+        mul = jax.lax.rsqrt(var + eps) * sG_ref[0].astype(f32)
+        ln = ((xf - mean) * mul + bG_ref[0].astype(f32)).astype(dtype)
+        proj = jax.lax.dot_general(
+            jnp.maximum(ln, 0.0), kG3_ref[...],
+            (((2,), (0,)), ((), ())), preferred_element_type=f32,
+        ).astype(dtype)
+        if gate:
+            y = g1[1 : bh + 1, 1 : bw + 1, :] * jax.nn.sigmoid(proj)
+        else:
+            y = proj
+
+        # ---- GatedFusionBlock 1x1 out conv
+        lf = (jax.lax.dot_general(
+            y, kGF_ref[...], (((2,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        ) + bGF_ref[0].astype(f32)).astype(dtype)
+        lf_ref[0] = lf
+
+        # ---- output_conv3 (1 channel): VPU lane-reduce
+        off = jnp.sum(lf.astype(f32) * kO3_ref[0].astype(f32)[None, None, :], axis=-1)
+        out_ref[0] = (off + bO3_ref[0, 0].astype(f32)).astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n, n_hb, n_wb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # p1, pre-padded 4
+            pl.BlockSpec(memory_space=pl.ANY),  # c0, pre-padded 4
+            pl.BlockSpec((3, 3 * cp, cm), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((1, cm), lambda *_: (0, 0)),
+            pl.BlockSpec((3, 3 * cm, ct), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((1, ct), lambda *_: (0, 0)),
+            pl.BlockSpec((3, 3 * ct, ct), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((1, ct), lambda *_: (0, 0)),
+            pl.BlockSpec((3, 3 * (ct + cc), ct), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((1, ct), lambda *_: (0, 0)),
+            pl.BlockSpec((1, ct), lambda *_: (0, 0)),
+            pl.BlockSpec((1, ct), lambda *_: (0, 0)),
+            pl.BlockSpec((ct, ct), lambda *_: (0, 0)),
+            pl.BlockSpec((ct, ct), lambda *_: (0, 0)),
+            pl.BlockSpec((1, ct), lambda *_: (0, 0)),
+            pl.BlockSpec((1, ct), lambda *_: (0, 0)),
+            pl.BlockSpec((1, 1), lambda *_: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bh, bw, ct), lambda ni, hi, wi: (ni, hi, wi, 0)),
+            pl.BlockSpec((1, bh, bw), lambda ni, hi, wi: (ni, hi, wi)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 8, bw + 8, cp), dtype),
+            pltpu.VMEM((2, bh + 2, bw + 2, cc), dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, w, ct), dtype),
+            jax.ShapeDtypeStruct((n, h, w), dtype),
+        ],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * (9 * cp * cm + 9 * cm * ct + 9 * ct * ct
+                                   + 9 * (ct + cc) * ct + 3 * ct * ct),
+            bytes_accessed=n * h * w * (cp + cc + ct + 1) * dtype.itemsize,
+            transcendentals=2 * n * h * w * ct,
+        ),
+    )
+
+
+def fused_c2f_head(p1, c0, kO1, bO1, kO2, bO2, kG1, bG1, kG2, bG2, lnG,
+                   kG3, kGF, bGF, kO3, bO3, gate=True, interpret=None):
+    """Run the fused C2F out-head.
+
+    p1: (N,H,W,Cp) refinenet1 output; c0: (N,H,W,Cc) level-0 coarse feature;
+    kO1/kO2/kG1/kG2: HWIO 3x3 kernels; kG3/kGF: 1x1; kO3: (1,1,Ct,1); lnG:
+    (scale, bias). Returns (last_feat (N,H,W,Ct), out (N,H,W,1)).
+    """
+    n, h, w, cp = p1.shape
+    cc = c0.shape[-1]
+    cm = kO1.shape[-1]
+    ct = kO2.shape[-1]
+    dt = p1.dtype
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+
+    pad4 = ((0, 0), (_HEAD_HALO, _HEAD_HALO), (_HEAD_HALO, _HEAD_HALO), (0, 0))
+    call = _build_head(n, h, w, cp, cm, ct, cc, bool(gate),
+                       jnp.dtype(dt).name, bool(interpret))
+    lf, out = call(
+        jnp.pad(p1, pad4),
+        jnp.pad(c0.astype(dt), pad4),
+        _k3(kO1).astype(dt),
+        bO1.reshape(1, cm).astype(dt),
+        _k3(kO2).astype(dt),
+        bO2.reshape(1, ct).astype(dt),
+        _k3(kG1).astype(dt),
+        bG1.reshape(1, ct).astype(dt),
+        _k3(kG2).astype(dt),
+        bG2.reshape(1, ct).astype(dt),
+        lnG[0].reshape(1, ct).astype(dt),
+        lnG[1].reshape(1, ct).astype(dt),
+        kG3.reshape(ct, ct).astype(dt),
+        kGF.reshape(ct, ct).astype(dt),
+        bGF.reshape(1, ct).astype(dt),
+        kO3.reshape(1, ct).astype(dt),
+        bO3.reshape(1, 1).astype(dt),
+    )
+    return lf, out[..., None]
