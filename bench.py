@@ -104,12 +104,58 @@ def _wait_for_backend(attempts=2, probe_timeout=900):
     raise RuntimeError(f"TPU backend unavailable: {err}")
 
 
+_FUSED_FLAGS = {
+    "PRV2_FUSED_GCU": "full",
+    "PRV2_FUSED_F2R": "1",
+    "PRV2_FUSED_C2F_HEAD": "1",
+}
+
+
+def _maybe_enable_fused():
+    """BENCH_FUSED=auto (default): probe the fused-kernel config in a
+    BOUNDED subprocess (one m1 frame) and enable the flags only if it
+    compiles and runs — mosaic compile failures or ceilings then cost the
+    probe its timeout instead of the whole measurement, and the probe
+    warms the persistent compilation cache for this process. ``1`` forces
+    the flags on, ``0`` leaves everything unfused."""
+    choice = os.environ.get("BENCH_FUSED", "auto")
+    if choice == "0":
+        return False
+    if choice != "auto":
+        os.environ.update(_FUSED_FLAGS)
+        return True
+    import subprocess
+
+    env = dict(os.environ, BENCH_CAI_MODE="m1", BENCH_ITERS="1",
+               BENCH_WARMUP="0", BENCH_FUSED="1")
+    try:
+        probe = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, timeout=1500, text=True, env=env,
+        )
+        ok = probe.returncode == 0 and '"metric"' in probe.stdout
+    except subprocess.TimeoutExpired:
+        ok = False
+    print("fused-kernel probe " + ("ok" if ok else "failed; measuring unfused"),
+          file=sys.stderr)
+    return ok
+
+
+def _set_fused(on: bool):
+    for k, v in _FUSED_FLAGS.items():
+        if on:
+            os.environ[k] = v
+        else:
+            os.environ.pop(k, None)
+
+
 def main():
     cai_mode = os.environ.get("BENCH_CAI_MODE", "r32")
     process_num = int(os.environ.get("BENCH_PROCESS_NUM", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
     _wait_for_backend()
+    fused_ok = _maybe_enable_fused()
 
     model = MODELS.build(dict(type="PatchRefinerPlus", config=flagship_config()))
     variables = model.init(jax.random.PRNGKey(0))
@@ -135,9 +181,6 @@ def main():
         )
         return d
 
-    for _ in range(warmup):
-        jax.block_until_ready(once())
-
     # Throughput timing: frames are dispatched back-to-back (JAX async
     # dispatch) and joined once at the end — the device runs saturated and
     # the per-frame host/tunnel dispatch latency overlaps with compute (the
@@ -147,11 +190,28 @@ def main():
     # chip. Chaining frame i+1's input to frame i's output via tiny slice
     # ops was tried and rejected: each extra micro-op costs a dispatch
     # round trip (m1 3.6 -> 2.6 fps).
-    t0 = time.perf_counter()
-    outs = [once() for _ in range(iters)]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    fps = iters / dt
+    def measure():
+        type(model)._jitted_infer.cache_clear()  # fused flags bind at trace
+        for _ in range(warmup):
+            jax.block_until_ready(once())
+        t0 = time.perf_counter()
+        outs = [once() for _ in range(iters)]
+        jax.block_until_ready(outs)
+        return iters / (time.perf_counter() - t0)
+
+    # measure the fused config when its probe passed, then unfused, and
+    # report the best — an unexpectedly slow kernel can't regress the record
+    results = {}
+    variants = (["fused"] if fused_ok else []) + (
+        ["unfused"] if os.environ.get("BENCH_FUSED") != "1" else []
+    )
+    for variant in variants or ["unfused"]:
+        _set_fused(variant == "fused")
+        results[variant] = measure()
+        print(f"{variant}: {results[variant]:.4f} fps", file=sys.stderr)
+    best = max(results, key=results.get)
+    _set_fused(best == "fused")
+    fps = results[best]
 
     if os.environ.get("BENCH_BREAKDOWN"):
         # per-pass breakdown (stderr, JSON stdout stays single-line): time
