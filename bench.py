@@ -154,8 +154,10 @@ def main():
     process_num = int(os.environ.get("BENCH_PROCESS_NUM", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
-    _wait_for_backend()
+    # probe BEFORE claiming the backend: the single tunneled chip is
+    # exclusive, so the probe subprocess must claim and release it first
     fused_ok = _maybe_enable_fused()
+    _wait_for_backend()
 
     model = MODELS.build(dict(type="PatchRefinerPlus", config=flagship_config()))
     variables = model.init(jax.random.PRNGKey(0))
