@@ -93,7 +93,7 @@ def _wait_for_backend(attempts=2, probe_timeout=900):
                 capture_output=True, timeout=probe_timeout, text=True,
             )
             if probe.returncode == 0 and "devok" in probe.stdout:
-                return jax.devices()
+                return True
             if probe.stderr:
                 err = probe.stderr.strip().splitlines()[-1]
         except subprocess.TimeoutExpired:
@@ -154,10 +154,12 @@ def main():
     process_num = int(os.environ.get("BENCH_PROCESS_NUM", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
-    # probe BEFORE claiming the backend: the single tunneled chip is
-    # exclusive, so the probe subprocess must claim and release it first
-    fused_ok = _maybe_enable_fused()
+    # order matters on the exclusive tunneled chip: bounded backend probe
+    # (claims + releases in a subprocess), then the fused-kernel probe
+    # (another claim/release cycle), and only then the in-process claim
     _wait_for_backend()
+    fused_ok = _maybe_enable_fused()
+    jax.devices()
 
     model = MODELS.build(dict(type="PatchRefinerPlus", config=flagship_config()))
     variables = model.init(jax.random.PRNGKey(0))
