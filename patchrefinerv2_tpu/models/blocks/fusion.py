@@ -248,10 +248,40 @@ class BiDirectionalFusion(nn.Module):
             )
         )
 
+        from patchrefinerv2_tpu.ops.fused_f2r import (
+            fused_fusion_pair,
+            fused_pair_supported,
+        )
+
         temp_feats = []
         for idx, (c, f) in enumerate(zip(c_feat, f_feat)):
             if idx == 0 and fuse_tail:
                 temp_feats.append(None)  # consumed inside the fused tail
+                continue
+            if (
+                idx > 0
+                and not return_feat
+                and not self.is_initializing()
+                and c.shape[1:3] == f.shape[1:3]
+                and fused_pair_supported(
+                    c.shape, f.shape[-1], self.temp_chl[idx], c.dtype
+                )
+            ):
+                # fused conv+LN+gelu pair (ops/fused_f2r.py, opt-in
+                # PRV2_FUSED_PAIR) — the per-level cat never materializes
+                kA, lnA = _CNNLNParams(
+                    self.temp_chl[idx], c.shape[-1] + f.shape[-1],
+                    name=f"fusion1_{idx}",
+                )()
+                kB, lnB = _CNNLNParams(
+                    self.temp_chl[idx], self.temp_chl[idx] + 2,
+                    name=f"fusion2_{idx}",
+                )()
+                p1 = _interp(pred1, c.shape[1:3])
+                p2 = _interp(pred2, c.shape[1:3])
+                temp_feats.append(
+                    fused_fusion_pair(c, f, p1, p2, kA, lnA, kB, lnB)
+                )
                 continue
             h = SingleConvCNNLN(self.temp_chl[idx], name=f"fusion1_{idx}")(
                 jnp.concatenate([c, f], axis=-1)

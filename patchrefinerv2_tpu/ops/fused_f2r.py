@@ -630,3 +630,196 @@ def fused_c2f_head(p1, c0, kO1, bO1, kO2, bO2, kG1, bG1, kG2, bG2, lnG,
         bO3.reshape(1, 1).astype(dt),
     )
     return lf, out[..., None]
+
+
+# --------------------------------------------------------------------------
+# Fused mid-level fusion pair: one BiDirectionalFusion f2r encoder level
+# (bi_directional_fusion_model.py:417-425)
+#
+#     h1 = gelu(LN(conv3x3(cat(c, f), kA)))      # fusion1_i
+#     h2 = gelu(LN(conv3x3(cat(h1, p1, p2), kB)))  # fusion2_i
+#
+# for levels >= 1 (level 0 belongs to the fused f2r tail). The pred maps
+# arrive already interpolated to this level's grid (1-channel resize
+# matmuls fuse fine in XLA). Two convs -> halo 2.
+# --------------------------------------------------------------------------
+
+
+def _pair_vmem_need(bh, bw, cc, cf, tc, itemsize):
+    win = 2 * (
+        (bh + 4) * (bw + 4) * (_lanes(cc) + _lanes(cf))
+        + (bh + 2) * (bw + 2) * _lanes(2)
+    ) * itemsize
+    stage_a = (
+        (bh + 4) * (bw + 2) * _lanes(3 * (cc + cf)) * itemsize
+        + (bh + 2) * (bw + 2) * _lanes(tc) * (4 + itemsize)
+    )
+    stage_b = (
+        (bh + 2) * bw * _lanes(3 * (tc + 2)) * itemsize
+        + bh * bw * _lanes(tc) * (4 + 2 * itemsize)
+    )
+    return win + max(stage_a, stage_b) + (bh + 2) * (bw + 2) * _lanes(tc) * itemsize
+
+
+def _pair_pick_blocks(h, w, cc, cf, tc, itemsize):
+    budget = 11 * 1024 * 1024
+    for bw in (256, 128):
+        if w % bw:
+            continue
+        for bh in (8, 4):
+            if h % bh:
+                continue
+            if _pair_vmem_need(bh, bw, cc, cf, tc, itemsize) < budget:
+                return bh, bw
+    return None
+
+
+def fused_pair_supported(shape, cf: int, tc: int, dtype=jnp.bfloat16) -> bool:
+    if os.environ.get("PRV2_FUSED_PAIR", "") in ("", "0", "false"):
+        return False
+    if jnp.dtype(dtype).itemsize != 2 and not os.environ.get("PRV2_FUSED_FORCE"):
+        return False
+    n, h, w, cc = shape
+    if w % 128 or w > 1024 or h % 4 or h < 16:
+        return False
+    if cc + cf > 1024 or tc > 128:
+        return False
+    return _pair_pick_blocks(h, w, cc, cf, tc, 2) is not None
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pair(n, h, w, cc, cf, tc, dtype_name, interpret):
+    dtype = jnp.dtype(dtype_name)
+    blocks = _pair_pick_blocks(h, w, cc, cf, tc, dtype.itemsize)
+    if blocks is None:
+        raise ValueError(f"no block size fits VMEM for {(n, h, w)}")
+    bh, bw = blocks
+    n_hb, n_wb = h // bh, w // bw
+    eps = 1e-6
+
+    def ln_gelu(acc, s_ref, b_ref):
+        acc = acc.astype(dtype).astype(jnp.float32)
+        mean = jnp.mean(acc, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(acc * acc, axis=-1, keepdims=True) - mean * mean, 0.0)
+        y = (acc - mean) * jax.lax.rsqrt(var + eps)
+        y = y * s_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        return _gelu(y.astype(dtype))
+
+    def kernel(c_hbm, f_hbm, pp_hbm, kA_ref, sA_ref, bA_ref,
+               kB_ref, sB_ref, bB_ref, out_ref, c_v, f_v, pp_v, sems):
+        ni = pl.program_id(0)
+        hi = pl.program_id(1)
+        wi = pl.program_id(2)
+        r0 = hi * bh
+        w0 = wi * bw
+        lin = (ni * n_hb + hi) * n_wb + wi
+        slot = jax.lax.rem(lin, 2)
+
+        def window_dmas(b_ni, b_hi, b_wi, b_slot):
+            br, bw0 = b_hi * bh, b_wi * bw
+            return [
+                pltpu.make_async_copy(
+                    c_hbm.at[b_ni, pl.ds(br, bh + 4), pl.ds(bw0, bw + 4)],
+                    c_v.at[b_slot], sems.at[b_slot, 0]),
+                pltpu.make_async_copy(
+                    f_hbm.at[b_ni, pl.ds(br, bh + 4), pl.ds(bw0, bw + 4)],
+                    f_v.at[b_slot], sems.at[b_slot, 1]),
+                pltpu.make_async_copy(
+                    pp_hbm.at[b_ni, pl.ds(br + 1, bh + 2), pl.ds(bw0 + 1, bw + 2)],
+                    pp_v.at[b_slot], sems.at[b_slot, 2]),
+            ]
+
+        @pl.when(lin == 0)
+        def _():
+            for cp_ in window_dmas(ni, hi, wi, slot):
+                cp_.start()
+
+        for cp_ in window_dmas(ni, hi, wi, slot):
+            cp_.wait()
+
+        nxt = lin + 1
+
+        @pl.when(nxt < n * n_hb * n_wb)
+        def _():
+            rem = jax.lax.rem(nxt, n_hb * n_wb)
+            for cp_ in window_dmas(nxt // (n_hb * n_wb), rem // n_wb,
+                                   jax.lax.rem(rem, n_wb), jax.lax.rem(nxt, 2)):
+                cp_.start()
+
+        def zero_outside(y, ext):
+            ry, rx = y.shape[0], y.shape[1]
+            rg = jax.lax.broadcasted_iota(jnp.int32, (ry, rx, 1), 0) + r0 - ext
+            cg = jax.lax.broadcasted_iota(jnp.int32, (ry, rx, 1), 1) + w0 - ext
+            ok = (rg >= 0) & (rg < h) & (cg >= 0) & (cg < w)
+            return y * ok.astype(y.dtype)
+
+        xim = _im2col_w([c_v[slot], f_v[slot]], bw + 2)
+        h1 = ln_gelu(_conv3dot(xim, kA_ref[...], bh + 2), sA_ref, bA_ref)
+        h1 = zero_outside(h1, 1)
+
+        xim = _im2col_w([h1, pp_v[slot]], bw)
+        out_ref[0] = ln_gelu(_conv3dot(xim, kB_ref[...], bh), sB_ref, bB_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n, n_hb, n_wb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # c, pre-padded 2
+            pl.BlockSpec(memory_space=pl.ANY),  # f
+            pl.BlockSpec(memory_space=pl.ANY),  # pp
+            pl.BlockSpec((3, 3 * (cc + cf), tc), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((1, tc), lambda *_: (0, 0)),
+            pl.BlockSpec((1, tc), lambda *_: (0, 0)),
+            pl.BlockSpec((3, 3 * (tc + 2), tc), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((1, tc), lambda *_: (0, 0)),
+            pl.BlockSpec((1, tc), lambda *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, bw, tc), lambda ni, hi, wi: (ni, hi, wi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 4, bw + 4, cc), dtype),
+            pltpu.VMEM((2, bh + 4, bw + 4, cf), dtype),
+            pltpu.VMEM((2, bh + 2, bw + 2, 2), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, tc), dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * 9 * tc * (cc + cf + tc + 2),
+            bytes_accessed=n * h * w * (cc + cf + tc + 2) * dtype.itemsize,
+            transcendentals=4 * n * h * w * tc,
+        ),
+    )
+
+
+def fused_fusion_pair(c, f, pred1, pred2, kA, lnA, kB, lnB, interpret=None):
+    """One f2r encoder level: h2 = CNNLN(cat(CNNLN(cat(c, f)), p1, p2)).
+
+    c/f: (N,h,w,*) level features; pred1/pred2: (N,h,w,1) already at this
+    level's grid. Returns (N,h,w,tc)."""
+    n, h, w, cc = c.shape
+    cf = f.shape[-1]
+    tc = kA.shape[-1]
+    dt = c.dtype
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    pad2 = ((0, 0), (2, 2), (2, 2), (0, 0))
+    pp = jnp.concatenate([pred1, pred2], axis=-1).astype(dt)
+    call = _build_pair(n, h, w, cc, cf, tc, jnp.dtype(dt).name, bool(interpret))
+    return call(
+        jnp.pad(c, pad2),
+        jnp.pad(f.astype(dt), pad2),
+        jnp.pad(pp, pad2),
+        _k3(kA).astype(dt),
+        lnA[0].reshape(1, tc).astype(dt),
+        lnA[1].reshape(1, tc).astype(dt),
+        _k3(kB).astype(dt),
+        lnB[0].reshape(1, tc).astype(dt),
+        lnB[1].reshape(1, tc).astype(dt),
+    )
