@@ -22,6 +22,7 @@ TPU-first: the relative position bias is materialized once per block as an
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -128,20 +129,42 @@ class BeitAttention(nn.Module):
             (num_rel, self.num_heads),
         )
         scale = hd**-0.5
-        # matmuls stay in the input dtype (bf16 on TPU) with f32 accumulation;
-        # softmax in f32
-        att = jnp.einsum(
-            "bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k,
-            preferred_element_type=jnp.float32,
+        rel_bias = (
+            relative_position_bias(table, gh, gw) if self.use_rel_bias else None
+        )  # (H, S, S)
+
+        # Pallas flash path (opt-in PRV2_FLASH_BEIT=1): online softmax with
+        # the rel-pos bias added per block — no (S, S) probability matrix in
+        # HBM. Inference-only (the bias path has no VJP) hence the 2-byte
+        # dtype gate, like the fused conv kernels.
+        import os
+
+        use_flash = (
+            os.environ.get("PRV2_FLASH_BEIT", "") not in ("", "0", "false")
+            and not self.is_initializing()
+            and (x.dtype == jnp.bfloat16 or os.environ.get("PRV2_FUSED_FORCE"))
         )
-        if self.use_rel_bias:
-            rel_bias = relative_position_bias(table, gh, gw)  # (H, S, S)
-            att = att + rel_bias[None].astype(att.dtype)
-        att = nn.softmax(att.astype(jnp.float32), axis=-1)
-        o = jnp.einsum(
-            "bhqk,bhkd->bhqd", att.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        if use_flash:
+            from patchrefinerv2_tpu.ops.attention import flash_mha
+
+            o = flash_mha(
+                q, k, v, scale, bias=rel_bias,
+                interpret=jax.default_backend() not in ("tpu", "axon"),
+            ).astype(x.dtype)
+        else:
+            # matmuls stay in the input dtype (bf16 on TPU) with f32
+            # accumulation; softmax in f32
+            att = jnp.einsum(
+                "bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k,
+                preferred_element_type=jnp.float32,
+            )
+            if rel_bias is not None:
+                att = att + rel_bias[None].astype(att.dtype)
+            att = nn.softmax(att.astype(jnp.float32), axis=-1)
+            o = jnp.einsum(
+                "bhqk,bhkd->bhqd", att.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
         o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
         return nn.Dense(self.dim, name="proj")(o)
 

@@ -49,7 +49,7 @@ def mha_reference(q, k, v, scale: float | None = None):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                  *, scale, kv_len, block_kv):
+                  *, scale, kv_len, block_kv, bias_ref=None):
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
 
@@ -66,6 +66,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
+    if bias_ref is not None:
+        # additive attention bias (e.g. BEiT relative-position bias),
+        # added before the padded-column mask overrides it
+        s = s + bias_ref[0].astype(jnp.float32)
 
     # mask padded kv columns (static kv_len)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + kv_idx * block_kv
@@ -99,8 +103,11 @@ def _pad_to(x, mult, axis):
     return jnp.pad(x, widths)
 
 
-def _flash_forward(q, k, v, scale, block_q, block_kv, interpret):
-    """Returns (out (B,H,Sq,D), lse (B*H, Sq_padded, 1) float32)."""
+def _flash_forward(q, k, v, scale, block_q, block_kv, interpret, bias=None):
+    """Returns (out (B,H,Sq,D), lse (B*H, Sq_padded, 1) float32).
+
+    ``bias``: optional additive attention bias (H, Sq, Skv), shared over
+    the batch (the BEiT relative-position-bias shape)."""
     b, h, s_q, d = q.shape
     s_kv = k.shape[2]
 
@@ -110,9 +117,31 @@ def _flash_forward(q, k, v, scale, block_q, block_kv, interpret):
     sq_p, skv_p = qp.shape[1], kp.shape[1]
 
     grid = (b * h, sq_p // block_q, skv_p // block_kv)
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, kv_len=s_kv, block_kv=block_kv
-    )
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+        pl.BlockSpec((1, block_kv, d), lambda bh, i, j: (bh, j, 0)),
+        pl.BlockSpec((1, block_kv, d), lambda bh, i, j: (bh, j, 0)),
+    ]
+    args = [qp, kp, vp]
+    if bias is None:
+        kernel = functools.partial(
+            _flash_kernel, scale=scale, kv_len=s_kv, block_kv=block_kv
+        )
+    else:
+        bp = _pad_to(_pad_to(bias, block_q, 1), block_kv, 2)
+
+        def kernel(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, m_s, l_s, a_s):
+            _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, a_s,
+                          scale=scale, kv_len=s_kv, block_kv=block_kv,
+                          bias_ref=b_ref)
+
+        in_specs.append(
+            pl.BlockSpec(
+                (1, block_q, block_kv),
+                lambda bh, i, j: (jax.lax.rem(bh, h), i, j),
+            )
+        )
+        args.append(bp)
     out, lse = pl.pallas_call(
         kernel,
         out_shape=[
@@ -122,11 +151,7 @@ def _flash_forward(q, k, v, scale, block_q, block_kv, interpret):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-                pl.BlockSpec((1, block_kv, d), lambda bh, i, j: (bh, j, 0)),
-                pl.BlockSpec((1, block_kv, d), lambda bh, i, j: (bh, j, 0)),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
                 pl.BlockSpec((1, block_q, 1), lambda bh, i, j: (bh, i, 0)),
@@ -141,7 +166,7 @@ def _flash_forward(q, k, v, scale, block_q, block_kv, interpret):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(*args)
     return out[:, :s_q].reshape(b, h, s_q, d), lse
 
 
@@ -318,33 +343,56 @@ def _flash_backward(q, k, v, o, lse, g, scale, block_q, block_kv, interpret):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def flash_mha(q, k, v, scale=None, block_q=256, block_kv=256, interpret=False):
-    """Flash attention. q, k, v: (B, H, S, D)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6, 7))
+def flash_mha(q, k, v, scale=None, bias=None, block_q=256, block_kv=256,
+              interpret=False):
+    """Flash attention. q, k, v: (B, H, S, D); optional additive ``bias``
+    (H, Sq, Skv) shared over batch (BEiT relative-position bias). The bias
+    path is forward-only (no VJP) — inference use."""
     d = q.shape[-1]
     s = scale if scale is not None else d**-0.5
-    out, _ = _flash_forward(q, k, v, s, block_q, block_kv, interpret)
+    out, _ = _flash_forward(q, k, v, s, block_q, block_kv, interpret, bias)
     return out
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_kv, interpret):
+def _flash_fwd(q, k, v, scale, bias, block_q, block_kv, interpret):
     d = q.shape[-1]
     s = scale if scale is not None else d**-0.5
-    out, lse = _flash_forward(q, k, v, s, block_q, block_kv, interpret)
-    return out, (q, k, v, out, lse)
+    out, lse = _flash_forward(q, k, v, s, block_q, block_kv, interpret, bias)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _flash_bwd(scale, block_q, block_kv, interpret, res, g):
-    q, k, v, o, lse = res
+    q, k, v, bias, o, lse = res
+    if bias is not None:
+        raise NotImplementedError(
+            "flash_mha backward with an attention bias is not implemented "
+            "(the bias path is inference-only; train with use_flash off)"
+        )
     d = q.shape[-1]
     s = scale if scale is not None else d**-0.5
-    return _flash_backward(q, k, v, o, lse, g, s, block_q, block_kv, interpret)
+    dq, dk, dv = _flash_backward(q, k, v, o, lse, g, s, block_q, block_kv,
+                                 interpret)
+    return dq, dk, dv, None
 
 
 flash_mha.defvjp(_flash_fwd, _flash_bwd)
 
 
-def mha(q, k, v, scale=None, use_flash=False, interpret=False):
+def mha(q, k, v, scale=None, use_flash=False, interpret=False, bias=None):
     if use_flash:
-        return flash_mha(q, k, v, scale, interpret=interpret)
-    return mha_reference(q, k, v, scale)
+        return flash_mha(q, k, v, scale, bias=bias, interpret=interpret)
+    o = mha_reference(q, k, v, scale) if bias is None else None
+    if bias is not None:
+        d = q.shape[-1]
+        sc = scale if scale is not None else d**-0.5
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * jnp.asarray(sc, q.dtype), k,
+            preferred_element_type=jnp.float32,
+        ) + bias[None].astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum(
+            "bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+    return o

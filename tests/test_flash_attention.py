@@ -102,3 +102,43 @@ def test_flash_grad_under_jit():
     np.testing.assert_allclose(float(val), float(val_r), rtol=1e-5)
     for a, b in zip(grads, grads_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5)
+
+
+def test_flash_bias_matches_reference():
+    """Additive (H, Sq, Skv) bias (the BEiT rel-pos shape), odd lengths so
+    both q and kv padding paths run under the bias."""
+    import jax
+
+    rng = jax.random.PRNGKey(7)
+    kq, kk, kv_, kb = jax.random.split(rng, 4)
+    b, h, s, d = 2, 3, 37, 32
+    q = jax.random.normal(kq, (b, h, s, d))
+    k = jax.random.normal(kk, (b, h, s, d))
+    v = jax.random.normal(kv_, (b, h, s, d))
+    bias = jax.random.normal(kb, (h, s, s))
+
+    sc = d**-0.5
+    att = jnp.einsum("bhqd,bhkd->bhqk", q * sc, k) + bias[None]
+    p = jax.nn.softmax(att, axis=-1)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    out = flash_mha(q, k, v, bias=bias, block_q=16, block_kv=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_beit_attention_flash_matches_dense(monkeypatch):
+    from patchrefinerv2_tpu.models.backbones.beit import BeitAttention
+    import jax
+
+    m = BeitAttention(dim=64, num_heads=4, grid=(3, 5))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+    params = m.init(jax.random.PRNGKey(1), x)
+    # non-zero rel-pos table so the bias actually matters
+    params = jax.tree_util.tree_map(
+        lambda a: a + 0.05 if a.ndim == 2 else a, params
+    )
+    ref = m.apply(params, x)
+    monkeypatch.setenv("PRV2_FLASH_BEIT", "1")
+    monkeypatch.setenv("PRV2_FUSED_FORCE", "1")
+    got = m.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-5, atol=5e-5)
