@@ -109,6 +109,7 @@ _FUSED_FLAGS = {
     "PRV2_FUSED_F2R": "1",
     "PRV2_FUSED_C2F_HEAD": "1",
     "PRV2_FUSED_PAIR": "1",
+    "PRV2_FUSED_DC": "1",
     "PRV2_FLASH_BEIT": "1",
 }
 

@@ -44,8 +44,42 @@ class UpSample(nn.Module):
         x1 = _interp(x1, size)
         pred1 = _interp(pred1, size)
         pred2 = _interp(pred2, size)
+
+        from patchrefinerv2_tpu.ops.fused_f2r import (
+            fused_dc_supported,
+            fused_upsample_dc,
+        )
+
+        if (
+            not self.is_initializing()
+            and x1.shape[-1] + x2.shape[-1] + 2 == self.mid_ch
+            and fused_dc_supported(x1.shape, x2.shape[-1], self.out_ch, x1.dtype)
+        ):
+            # fused concat+DoubleConv (ops/fused_f2r.py, opt-in
+            # PRV2_FUSED_DC); the upsample stays an XLA resize matmul
+            kC, kD = _DoubleConvParams(
+                ((3, 3, self.mid_ch, self.mid_ch),
+                 (3, 3, self.mid_ch, self.out_ch)),
+                name="DoubleConv_0",
+            )()
+            return fused_upsample_dc(x1, x2, pred1, pred2, kC, kD)
+
         x = jnp.concatenate([x1, x2, pred1, pred2], axis=-1)
         return DoubleConv(self.out_ch, self.mid_ch)(x)
+
+
+class _DoubleConvParams(nn.Module):
+    """Parameter-only mirror of DoubleConv (Conv_0, Conv_1; no biases)."""
+
+    kshapes: tuple
+
+    @nn.compact
+    def __call__(self):
+        from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams
+
+        k0, _ = _ConvParams(self.kshapes[0], use_bias=False, name="Conv_0")()
+        k1, _ = _ConvParams(self.kshapes[1], use_bias=False, name="Conv_1")()
+        return k0, k1
 
 
 class _CNNLNParams(nn.Module):
@@ -79,18 +113,7 @@ class _UpSampleParams(nn.Module):
 
     @nn.compact
     def __call__(self):
-        from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams
-
-        class _DC(nn.Module):
-            kshapes: tuple
-
-            @nn.compact
-            def __call__(self):
-                k0, _ = _ConvParams(self.kshapes[0], use_bias=False, name="Conv_0")()
-                k1, _ = _ConvParams(self.kshapes[1], use_bias=False, name="Conv_1")()
-                return k0, k1
-
-        return _DC(
+        return _DoubleConvParams(
             ((3, 3, self.cin, self.mid_ch), (3, 3, self.mid_ch, self.out_ch)),
             name="DoubleConv_0",
         )()

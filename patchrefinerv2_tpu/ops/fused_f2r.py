@@ -823,3 +823,181 @@ def fused_fusion_pair(c, f, pred1, pred2, kA, lnA, kB, lnB, interpret=None):
         lnB[0].reshape(1, tc).astype(dt),
         lnB[1].reshape(1, tc).astype(dt),
     )
+
+
+# --------------------------------------------------------------------------
+# Fused UpSample DoubleConv: one decoder stage of the f2r chain
+# (fusion_model.py:7-35)
+#
+#     d1  = gelu(conv3x3(cat(x1up, feat, p1, p2), kC))
+#     out = gelu(conv3x3(d1, kD))
+#
+# for mid levels whose grid is lane-aligned (the level-0 instance belongs
+# to the fused f2r tail). x1up and the preds arrive already interpolated
+# to this level's grid. Two convs -> halo 2.
+# --------------------------------------------------------------------------
+
+
+def _dc_vmem_need(bh, bw, cx, ct, midc, outc, itemsize):
+    win = 2 * (
+        (bh + 4) * (bw + 4) * (_lanes(cx) + _lanes(ct))
+        + (bh + 2) * (bw + 2) * _lanes(2)
+    ) * itemsize
+    stage_c = (
+        (bh + 4) * (bw + 2) * _lanes(3 * midc) * itemsize
+        + (bh + 2) * (bw + 2) * _lanes(midc) * (4 + itemsize)
+    )
+    stage_d = (
+        (bh + 2) * bw * _lanes(3 * midc) * itemsize
+        + bh * bw * _lanes(outc) * (4 + 2 * itemsize)
+    )
+    return win + max(stage_c, stage_d) + (bh + 2) * (bw + 2) * _lanes(midc) * itemsize
+
+
+def _dc_pick_blocks(h, w, cx, ct, midc, outc, itemsize):
+    budget = 11 * 1024 * 1024
+    for bw in (256, 128):
+        if w % bw:
+            continue
+        for bh in (8, 4):
+            if h % bh:
+                continue
+            if _dc_vmem_need(bh, bw, cx, ct, midc, outc, itemsize) < budget:
+                return bh, bw
+    return None
+
+
+def fused_dc_supported(shape, ct: int, outc: int, dtype=jnp.bfloat16) -> bool:
+    if os.environ.get("PRV2_FUSED_DC", "") in ("", "0", "false"):
+        return False
+    if jnp.dtype(dtype).itemsize != 2 and not os.environ.get("PRV2_FUSED_FORCE"):
+        return False
+    n, h, w, cx = shape
+    if w % 128 or w > 1024 or h % 4 or h < 16:
+        return False
+    midc = cx + ct + 2
+    if midc > 512 or outc > 256:
+        return False
+    return _dc_pick_blocks(h, w, cx, ct, midc, outc, 2) is not None
+
+
+@functools.lru_cache(maxsize=None)
+def _build_dc(n, h, w, cx, ct, midc, outc, dtype_name, interpret):
+    dtype = jnp.dtype(dtype_name)
+    blocks = _dc_pick_blocks(h, w, cx, ct, midc, outc, dtype.itemsize)
+    if blocks is None:
+        raise ValueError(f"no block size fits VMEM for {(n, h, w)}")
+    bh, bw = blocks
+    n_hb, n_wb = h // bh, w // bw
+
+    def kernel(x_hbm, f_hbm, pp_hbm, kC_ref, kD_ref, out_ref,
+               x_v, f_v, pp_v, sems):
+        ni = pl.program_id(0)
+        hi = pl.program_id(1)
+        wi = pl.program_id(2)
+        r0 = hi * bh
+        w0 = wi * bw
+        lin = (ni * n_hb + hi) * n_wb + wi
+        slot = jax.lax.rem(lin, 2)
+
+        def window_dmas(b_ni, b_hi, b_wi, b_slot):
+            br, bw0 = b_hi * bh, b_wi * bw
+            return [
+                pltpu.make_async_copy(
+                    x_hbm.at[b_ni, pl.ds(br, bh + 4), pl.ds(bw0, bw + 4)],
+                    x_v.at[b_slot], sems.at[b_slot, 0]),
+                pltpu.make_async_copy(
+                    f_hbm.at[b_ni, pl.ds(br, bh + 4), pl.ds(bw0, bw + 4)],
+                    f_v.at[b_slot], sems.at[b_slot, 1]),
+                pltpu.make_async_copy(
+                    pp_hbm.at[b_ni, pl.ds(br, bh + 4), pl.ds(bw0, bw + 4)],
+                    pp_v.at[b_slot], sems.at[b_slot, 2]),
+            ]
+
+        @pl.when(lin == 0)
+        def _():
+            for cp_ in window_dmas(ni, hi, wi, slot):
+                cp_.start()
+
+        for cp_ in window_dmas(ni, hi, wi, slot):
+            cp_.wait()
+
+        nxt = lin + 1
+
+        @pl.when(nxt < n * n_hb * n_wb)
+        def _():
+            rem = jax.lax.rem(nxt, n_hb * n_wb)
+            for cp_ in window_dmas(nxt // (n_hb * n_wb), rem // n_wb,
+                                   jax.lax.rem(rem, n_wb), jax.lax.rem(nxt, 2)):
+                cp_.start()
+
+        def zero_outside(y, ext):
+            ry, rx = y.shape[0], y.shape[1]
+            rg = jax.lax.broadcasted_iota(jnp.int32, (ry, rx, 1), 0) + r0 - ext
+            cg = jax.lax.broadcasted_iota(jnp.int32, (ry, rx, 1), 1) + w0 - ext
+            ok = (rg >= 0) & (rg < h) & (cg >= 0) & (cg < w)
+            return y * ok.astype(y.dtype)
+
+        # conv C over the (bh+2, bw+2) extended region conv D's halo reads
+        xim = _im2col_w([x_v[slot], f_v[slot], pp_v[slot]], bw + 2)
+        d1 = _gelu(_conv3dot(xim, kC_ref[...], bh + 2).astype(dtype))
+        d1 = zero_outside(d1, 1)
+
+        xim = _im2col_w([d1], bw)
+        out_ref[0] = _gelu(_conv3dot(xim, kD_ref[...], bh).astype(dtype))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n, n_hb, n_wb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x1up, pre-padded 2
+            pl.BlockSpec(memory_space=pl.ANY),  # feat
+            pl.BlockSpec(memory_space=pl.ANY),  # pp
+            pl.BlockSpec((3, 3 * midc, midc), lambda *_: (0, 0, 0)),
+            pl.BlockSpec((3, 3 * midc, outc), lambda *_: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, bw, outc), lambda ni, hi, wi: (ni, hi, wi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 4, bw + 4, cx), dtype),
+            pltpu.VMEM((2, bh + 4, bw + 4, ct), dtype),
+            pltpu.VMEM((2, bh + 4, bw + 4, 2), dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w, outc), dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * w * 9 * midc * (midc + outc),
+            bytes_accessed=n * h * w * (cx + ct + outc + 2) * dtype.itemsize,
+            transcendentals=2 * n * h * w * (midc + outc),
+        ),
+    )
+
+
+def fused_upsample_dc(x1up, feat, pred1, pred2, kC, kD, interpret=None):
+    """One UpSample DoubleConv: gelu(conv(gelu(conv(cat(x1up, feat, p1,
+    p2))))). All inputs at this level's grid; returns (N,h,w,outc)."""
+    n, h, w, cx = x1up.shape
+    ct = feat.shape[-1]
+    midc = kC.shape[2]  # HWIO cin
+    outc = kD.shape[-1]
+    dt = x1up.dtype
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    pad2 = ((0, 0), (2, 2), (2, 2), (0, 0))
+    pp = jnp.concatenate([pred1, pred2], axis=-1).astype(dt)
+    call = _build_dc(n, h, w, cx, ct, midc, outc, jnp.dtype(dt).name,
+                     bool(interpret))
+    return call(
+        jnp.pad(x1up.astype(dt), pad2),
+        jnp.pad(feat.astype(dt), pad2),
+        jnp.pad(pp, pad2),
+        _k3(kC).astype(dt),
+        _k3(kD).astype(dt),
+    )

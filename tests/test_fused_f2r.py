@@ -116,3 +116,24 @@ def test_fused_pair_matches_module(monkeypatch, with_tail):
         monkeypatch.setenv("PRV2_FUSED_F2R", "1")
     got = m.apply(params, c_feat, f_feat, pred1, pred2, update_base=base)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-4)
+
+
+def test_fused_dc_matches_module(monkeypatch):
+    """Mid-level fused UpSample DoubleConv (PRV2_FUSED_DC) — fires at the
+    level-1 decoder stage here."""
+    n, h, w = 1, 32, 256
+    c_feat = _pyramid(jax.random.PRNGKey(1), n, h, w, (32, 64, 64, 64, 64, 64))
+    f_feat = _pyramid(jax.random.PRNGKey(2), n, h, w, (32, 64, 64, 64, 64, 64))
+    pred1 = jax.random.normal(jax.random.PRNGKey(3), (n, h, w, 1)) * 0.5
+    pred2 = jax.random.normal(jax.random.PRNGKey(4), (n, h, w, 1)) * 0.5
+    base = jnp.abs(jax.random.normal(jax.random.PRNGKey(5), (n, h, w, 1))) * 3
+
+    m = _build_module()
+    params = m.init(jax.random.PRNGKey(0), c_feat, f_feat, pred1, pred2,
+                    update_base=base)
+    ref = m.apply(params, c_feat, f_feat, pred1, pred2, update_base=base)
+
+    monkeypatch.setenv("PRV2_FUSED_DC", "1")
+    monkeypatch.setenv("PRV2_FUSED_FORCE", "1")
+    got = m.apply(params, c_feat, f_feat, pred1, pred2, update_base=base)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-4, atol=3e-4)
