@@ -120,10 +120,20 @@ def _maybe_enable_fused():
     compiles and runs — mosaic compile failures or ceilings then cost the
     probe its timeout instead of the whole measurement, and the probe
     warms the persistent compilation cache for this process. ``1`` forces
-    the flags on, ``0`` leaves everything unfused."""
+    the flags on, ``0`` leaves everything unfused.
+    ``flags:K=V,K=V`` (tools/bench_matrix.py) replaces the flag set with
+    exactly the listed subset and measures only that variant."""
     choice = os.environ.get("BENCH_FUSED", "auto")
     if choice == "0":
         return False
+    if choice.startswith("flags:"):
+        _FUSED_FLAGS.clear()
+        for pair in filter(None, choice[len("flags:"):].split(",")):
+            k, _, v = pair.partition("=")
+            _FUSED_FLAGS[k.strip()] = v.strip() or "1"
+        os.environ["BENCH_FUSED"] = "1"  # measure only the fused variant
+        os.environ.update(_FUSED_FLAGS)
+        return True
     if choice != "auto":
         os.environ.update(_FUSED_FLAGS)
         return True

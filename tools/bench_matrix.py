@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Per-flag fused-kernel A/B matrix on the real chip.
+
+Runs ``bench.py`` in bounded subprocesses — baseline (all fused kernels
+off), each fused flag alone, then all together — and prints a delta table
+so a measurement session attributes wins/regressions to individual
+kernels instead of the all-or-nothing auto probe. Each variant gets its
+own subprocess: a mosaic compile failure or a relay hang costs that
+variant its timeout, never the session. The persistent JAX compilation
+cache (bench.py sets JAX_COMPILATION_CACHE_DIR) makes repeats cheap.
+
+Usage:
+    python tools/bench_matrix.py [--mode m1] [--iters 10] [--timeout 2400]
+    python tools/bench_matrix.py --mode r32 --only PRV2_FUSED_GCU=full,PRV2_FUSED_F2R=1
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# keep in sync with bench.py:_FUSED_FLAGS
+FLAGS = [
+    ("PRV2_FUSED_GCU", "full"),
+    ("PRV2_FUSED_GCU", "tail"),
+    ("PRV2_FUSED_F2R", "1"),
+    ("PRV2_FUSED_C2F_HEAD", "1"),
+    ("PRV2_FUSED_PAIR", "1"),
+    ("PRV2_FUSED_DC", "1"),
+    ("PRV2_FLASH_BEIT", "1"),
+]
+
+
+def run_variant(name, flag_pairs, mode, iters, warmup, timeout):
+    spec = ",".join(f"{k}={v}" for k, v in flag_pairs)
+    env = dict(
+        os.environ,
+        BENCH_CAI_MODE=mode,
+        BENCH_ITERS=str(iters),
+        BENCH_WARMUP=str(warmup),
+        BENCH_FUSED=("0" if not flag_pairs else "flags:" + spec),
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py")],
+            capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        return name, None, "timeout"
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()
+        return name, None, tail[-1] if tail else f"rc={proc.returncode}"
+    for line in proc.stdout.splitlines():
+        try:
+            rec = json.loads(line)
+            return name, rec["value"], ""
+        except (ValueError, KeyError):
+            continue
+    return name, None, "no JSON line"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="m1", help="cai mode (m1 is the cheap proxy)")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--timeout", type=int, default=2400, help="per-variant bound, s")
+    ap.add_argument("--only", default=None,
+                    help="comma list K=V: measure baseline + exactly this combo")
+    ap.add_argument("--skip-singles", action="store_true",
+                    help="only baseline + all-on")
+    args = ap.parse_args()
+
+    variants = [("baseline", [])]
+    if args.only:
+        pairs = [tuple(p.split("=", 1)) for p in args.only.split(",")]
+        variants.append((args.only, pairs))
+    else:
+        if not args.skip_singles:
+            variants += [(f"{k}={v}", [(k, v)]) for k, v in FLAGS]
+        # all-on uses the first value listed per flag (full GCU)
+        seen, allon = set(), []
+        for k, v in FLAGS:
+            if k not in seen:
+                seen.add(k)
+                allon.append((k, v))
+        variants.append(("ALL", allon))
+
+    results = []
+    base_fps = None
+    for name, pairs in variants:
+        name, fps, err = run_variant(
+            name, pairs, args.mode, args.iters, args.warmup, args.timeout)
+        if fps is not None and base_fps is None and name == "baseline":
+            base_fps = fps
+        delta = "" if fps is None or not base_fps else f"{(fps/base_fps-1)*100:+.1f}%"
+        line = f"{name:40s} {fps if fps is not None else 'FAIL':>10} {delta:>8} {err}"
+        print(line, flush=True)
+        results.append({"variant": name, "mode": args.mode, "fps": fps,
+                        "error": err or None})
+    with open(os.path.join(ROOT, f"bench_matrix_{args.mode}.json"), "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
