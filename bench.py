@@ -76,7 +76,7 @@ def flagship_config(max_depth=80.0):
     )
 
 
-def _wait_for_backend(attempts=2, probe_timeout=900):
+def _wait_for_backend(attempts=None, probe_timeout=900):
     """The tunneled chip grant can transiently fail OR hang (pool
     contention / relay restart — a dead relay blocks jax.devices() on the
     grant wait for ~30 min instead of erroring). Probe in a subprocess
@@ -85,6 +85,11 @@ def _wait_for_backend(attempts=2, probe_timeout=900):
     end, so bound the total wait."""
     import subprocess
 
+    if attempts is None:
+        # a pool outage window is usually minutes-to-an-hour; the driver
+        # runs this unattended at round end, so default to ~45 min of
+        # patience (3 x 900 s probes) — overridable for interactive runs
+        attempts = int(os.environ.get("BENCH_BACKEND_ATTEMPTS", "3"))
     err = "backend probe failed"
     for i in range(attempts):
         try:
