@@ -183,10 +183,17 @@ def main():
     variables = model.init(jax.random.PRNGKey(0))
 
     # on a multi-chip host, shard each patch chunk across the chips (the
-    # mesh path of PatchRefinerPlus.infer); single chip runs unsharded
+    # mesh path of PatchRefinerPlus.infer); single chip runs unsharded.
+    # BENCH_TP=m additionally splits the mesh (data=n/m, model=m) to shard
+    # the coarse trunk Megatron-style (parallel/tp.py).
     mesh = None
     n_dev = jax.device_count()
-    if n_dev > 1 and process_num % n_dev == 0:
+    tp = int(os.environ.get("BENCH_TP", "1"))
+    if n_dev > 1 and tp > 1 and n_dev % tp == 0 and process_num % (n_dev // tp) == 0:
+        from patchrefinerv2_tpu.parallel.tp import tp_mesh
+
+        mesh = tp_mesh(tp)
+    elif n_dev > 1 and process_num % n_dev == 0:
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(jax.devices()), ("data",))

@@ -48,6 +48,12 @@ from patchrefinerv2_tpu.ops.resize import resize
 from patchrefinerv2_tpu.ops.roi_align import roi_align
 
 
+def _mesh_data_size(mesh) -> int:
+    """Devices along the patch-sharding axis: the 'data' axis of a named
+    mesh (1-D data or 2-D data x model), else every device."""
+    return mesh.shape.get("data", mesh.devices.size)
+
+
 def _da_round(size: tuple[int, int]) -> tuple[int, int]:
     """DA resizer target: round to multiple of 14 (transform.py:52-75)."""
     return (int(round(size[0] / 14) * 14), int(round(size[1] / 14) * 14))
@@ -543,7 +549,7 @@ class PatchRefinerPlus:
             # the remainder chunk doesn't split evenly.
             merged = [passes[0]] + merge_passes([p for p, _ in passes[1:]], process_num)
             if mesh is None or all(
-                chunk % mesh.devices.size == 0 for _, chunk in merged
+                chunk % _mesh_data_size(mesh) == 0 for _, chunk in merged
             ):
                 passes = merged
         n_random_iters = (
@@ -654,9 +660,12 @@ class PatchRefinerPlus:
         shape for m1/m2 and the raw shape for rN (the Tester resizes to gt
         for metrics, mirroring tester.py:109-117 / metric.py:100-106).
 
-        ``mesh``: optional 1-D Mesh(('data',)) — shards each patch chunk
+        ``mesh``: optional Mesh — 1-D (('data',)) shards each patch chunk
         across its devices (process_num must divide evenly); inputs and
-        params are placed replicated.
+        params are placed replicated. 2-D (('data','model')) additionally
+        shards the coarse-trunk attention/MLP kernels Megatron-style over
+        'model' (parallel/tp.py), so the whole-image coarse forward — the
+        replicated residual of patch sharding — also scales.
         """
         tc = self.tile_cfg
         if tile_cfg is not None:
@@ -665,10 +674,10 @@ class PatchRefinerPlus:
                 tuple(tile_cfg["patch_split_num"]),
                 self.patch_process_shape,
             )
-        if mesh is not None and process_num % mesh.devices.size:
+        if mesh is not None and process_num % _mesh_data_size(mesh):
             raise ValueError(
                 f"process_num={process_num} must be divisible by the mesh "
-                f"size {mesh.devices.size}"
+                f"'data' axis {_mesh_data_size(mesh)}"
             )
         fn = self._jitted_infer(
             cai_mode, (tc.image_raw_shape, tc.patch_split_num), process_num,
@@ -680,7 +689,12 @@ class PatchRefinerPlus:
         if mesh is not None:
             from patchrefinerv2_tpu.parallel.mesh import replicate_tree
 
-            variables = replicate_tree(variables, mesh)
+            if "model" in mesh.shape and mesh.shape["model"] > 1:
+                from patchrefinerv2_tpu.parallel.tp import shard_tp
+
+                variables = shard_tp(variables, mesh, within="coarse")
+            else:
+                variables = replicate_tree(variables, mesh)
             image_lr = replicate_tree(image_lr, mesh)
             image_hr = replicate_tree(image_hr, mesh)
         return fn(variables, image_lr, image_hr, seed)
