@@ -32,6 +32,7 @@ class Tester:
         save: bool = False,
         cmap: str | None = None,
         gray_scale: bool = False,
+        mesh=None,
     ):
         self.config = config
         self.model = model
@@ -39,6 +40,11 @@ class Tester:
         self.work_dir = work_dir
         self.save = save
         self.gray_scale = gray_scale
+        # optional device mesh: shards each patch chunk across local chips
+        # during tiled inference (PatchRefinerPlus.infer(mesh=...)) — the
+        # single-image latency axis; cross-image DP stays the multiprocess
+        # loader split as in the reference (tester.py:52-127)
+        self.mesh = mesh
         # reference colormap policy (tester.py:72-86): gray_r when
         # gray_scale (default 2/95 percentiles), magma_r full-range on
         # cityscapes, Spectral full-range otherwise
@@ -78,6 +84,7 @@ class Tester:
                 process_num=process_num,
                 tile_cfg=tile_cfg,
                 seed=sub,
+                mesh=self.mesh,
             )
             depth = np.asarray(depth)
             name = batch.get("img_file_basename", [f"img_{i:05d}"])[0]
@@ -113,7 +120,8 @@ class Tester:
         for i, batch in enumerate(self.dataloader):
             seed, sub = jax.random.split(seed)
             depth, _ = self.model.infer(
-                variables, batch["image_lr"], batch["image_hr"], seed=sub, **infer_kwargs
+                variables, batch["image_lr"], batch["image_hr"], seed=sub,
+                mesh=self.mesh, **infer_kwargs
             )
             name = batch.get("img_file_basename", [f"img_{i:05d}"])[0]
             save_raw_16bit(np.asarray(depth), os.path.join(out_dir, f"{name}_uint16.png"))
@@ -138,6 +146,7 @@ class Tester:
             d, _ = self.model.infer(
                 variables, image_lr, image_hr,
                 cai_mode=cai_mode, process_num=process_num, tile_cfg=tile_cfg, seed=seed,
+                mesh=self.mesh,
             )
             jax.block_until_ready(d)
 

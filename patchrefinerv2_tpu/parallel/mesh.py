@@ -36,9 +36,12 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     collect_input_args filter (trainer.py:128-134). Batches not divisible
     by the mesh size are padded by repeating samples from the start —
     the same evening-out rule torch's DistributedSampler applies
-    (reference L0, SURVEY section 2.4)."""
+    (reference L0, SURVEY section 2.4). Only the 'data' axis shards the
+    batch (a 2-D data x model mesh pads to the data size, not the full
+    device count — padding further would duplicate samples in the
+    gradient)."""
     sh = batch_sharding(mesh)
-    n_dev = mesh.devices.size
+    n_dev = mesh.shape.get("data", mesh.devices.size)
     out = {}
     for k, v in batch.items():
         arr = np.asarray(v)

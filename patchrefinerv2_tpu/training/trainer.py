@@ -109,9 +109,9 @@ class Trainer:
         )
         opt_state = self.tx.init(params)
         self.state = TrainState(
-            replicate_tree(params, self.mesh),
-            replicate_tree(batch_stats, self.mesh) if batch_stats is not None else None,
-            replicate_tree(opt_state, self.mesh),
+            self._place(params),
+            self._place(batch_stats) if batch_stats is not None else None,
+            self._place(opt_state),
         )
         self.start_epoch = 1
         resume = config.get("resume_from")
@@ -126,6 +126,19 @@ class Trainer:
         self.metrics = MetricsLogger(
             work_dir, project=config.get("project", ""), debug=bool(config.get("debug", False))
         )
+
+    def _place(self, tree):
+        """Mesh placement for params/optimizer state: replicated on a 1-D
+        data mesh; on a 2-D (data, model) mesh the coarse-trunk attention/
+        MLP kernels (and their optimizer moments — optax state carries the
+        same param paths) shard tensor-parallel over 'model'
+        (parallel/tp.py). Gradients/updates are elementwise per leaf, so
+        GSPMD keeps the TP placement through the whole train step."""
+        if "model" in self.mesh.shape and self.mesh.shape["model"] > 1:
+            from patchrefinerv2_tpu.parallel.tp import shard_tp
+
+            return shard_tp(tree, self.mesh, within="coarse")
+        return replicate_tree(tree, self.mesh)
 
     def _build_train_step(self):
         model, tx = self.model, self.tx
@@ -321,14 +334,14 @@ class Trainer:
         from patchrefinerv2_tpu.utils.checkpoint import load_checkpoint
 
         ckpt = load_checkpoint(path)
-        self.state.params = replicate_tree(ckpt["params"], self.mesh)
+        self.state.params = self._place(ckpt["params"])
         if ckpt.get("batch_stats"):
-            self.state.batch_stats = replicate_tree(ckpt["batch_stats"], self.mesh)
+            self.state.batch_stats = self._place(ckpt["batch_stats"])
         if ckpt.get("opt_state") is not None:
             restored = jax.tree_util.tree_map(
                 lambda tpl, arr: arr, self.state.opt_state, ckpt["opt_state"]
             )
-            self.state.opt_state = replicate_tree(restored, self.mesh)
+            self.state.opt_state = self._place(restored)
         self.state.step = int(ckpt.get("step", 0))
         self.start_epoch = int(ckpt.get("epoch", 0)) + 1
         print_log(f"resumed from {path} at epoch {self.start_epoch} step {self.state.step}")

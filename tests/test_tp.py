@@ -84,6 +84,57 @@ def test_tp_sharded_infer_matches_single_device(model_and_vars):
     assert np.asarray(d3).shape == np.asarray(d1).shape
 
 
+def test_tp_trainer_step_matches_dp(tmp_path):
+    """One training epoch on the 2-D (data=4, model=2) mesh produces the
+    same losses as the pure-DP mesh: TP is placement only, the math is
+    unchanged (grad all-reduce over 'data' + TP collectives over 'model'
+    both inserted by GSPMD)."""
+    from patchrefinerv2_tpu.config import Config
+    from patchrefinerv2_tpu.datasets.base import DataLoader
+    from patchrefinerv2_tpu.registry import DATASETS
+    from patchrefinerv2_tpu.training.trainer import Trainer
+
+    cfg = Config.fromdict(
+        dict(
+            seed=0,
+            debug=True,
+            model=dict(type="PatchRefinerPlus", config=tiny_config()),
+            train_cfg=dict(max_epochs=1, save_checkpoint_interval=99,
+                           log_interval=1, eval_start=99),
+            optim_wrapper=dict(
+                optimizer=dict(type="AdamW", lr=1e-4, weight_decay=0.01),
+                clip_grad=dict(max_norm=35),
+            ),
+            param_scheduler=dict(cycle_momentum=True, base_momentum=0.85,
+                                 max_momentum=0.95, div_factor=2,
+                                 final_div_factor=100, pct_start=0.3),
+        )
+    )
+
+    def run(mesh, sub):
+        model = MODELS.build(cfg.model)
+        ds = DATASETS.build(
+            dict(type="SyntheticDataset", mode="train", length=4,
+                 image_raw_shape=(168, 224), network_process_size=(84, 112),
+                 patch_raw_shape=(84, 112))
+        )
+        loader = DataLoader(ds, batch_size=4, shuffle=False, num_prefetch=0)
+        tr = Trainer(cfg, model, loader, work_dir=str(tmp_path / sub), mesh=mesh)
+        tr.train_epoch(1)
+        return jax.tree_util.tree_map(np.asarray, tr.state.params)
+
+    p_dp = run(None, "dp")          # default 1-D data mesh over 8 devices
+    p_tp = run(tp_mesh(2), "tp")    # (data=4, model=2)
+    flat_dp = jax.tree_util.tree_leaves(p_dp)
+    flat_tp = jax.tree_util.tree_leaves(p_tp)
+    assert len(flat_dp) == len(flat_tp)
+    # tolerance: reassociation only — the TP program reduces attention/MLP
+    # contractions in sharded partial sums (measured max drift ~4e-5 after
+    # one AdamW step; a wrong placement would be O(1) off)
+    for a, b in zip(flat_dp, flat_tp):
+        np.testing.assert_allclose(b, a, atol=2e-4, rtol=2e-4)
+
+
 def test_tp_sharded_infer_rn_matches_single_device(model_and_vars):
     """The full rN program (shifted + random passes) under the 2-D mesh."""
     model, variables = model_and_vars

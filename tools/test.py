@@ -44,6 +44,12 @@ def main():
     parser.add_argument("--bench-iters", type=int, default=50)
     parser.add_argument("--bench-warmup", type=int, default=20)
     parser.add_argument("--bench-repeats", type=int, default=10)
+    parser.add_argument(
+        "--shard-patches", type=int, default=0, metavar="TP",
+        help="shard each patch chunk across local devices during tiled "
+        "inference (single-image latency). 0=off; 1=1-D data mesh; m>1 "
+        "additionally shards the coarse trunk tensor-parallel over a "
+        "(data, model=m) mesh (parallel/tp.py)")
     args = parser.parse_args()
 
     cfg = Config.fromfile(args.config)
@@ -79,8 +85,18 @@ def main():
     loader = DataLoader(dataset, batch_size=1, shuffle=False,
                         process_index=jax.process_index(), process_count=jax.process_count())
 
+    mesh = None
+    if args.shard_patches:
+        if args.shard_patches > 1:
+            from patchrefinerv2_tpu.parallel.tp import tp_mesh
+
+            mesh = tp_mesh(args.shard_patches)
+        else:
+            from patchrefinerv2_tpu.parallel.mesh import data_mesh
+
+            mesh = data_mesh()
     tester = Tester(cfg, model, loader, work_dir=args.work_dir, save=args.save,
-                    gray_scale=args.gray_scale)
+                    gray_scale=args.gray_scale, mesh=mesh)
     if args.test_type == "benchmark":
         # fps + FLOPs/params on the first image (Tester.benchmark,
         # reference tester.py:325-404 incl. benchmark.txt + complexity)

@@ -35,6 +35,11 @@ def main():
     parser.add_argument(
         "--cfg-option", nargs="+", default=None, help="dotted key=value overrides"
     )
+    parser.add_argument(
+        "--tp", type=int, default=1, metavar="M",
+        help="tensor-parallel degree: train over a 2-D (data, model=M) "
+        "mesh with the coarse trunk's attention/MLP kernels sharded over "
+        "'model' (parallel/tp.py); 1 = pure data parallel")
     args = parser.parse_args()
 
     cfg = Config.fromfile(args.config)
@@ -68,7 +73,13 @@ def main():
         except (FileNotFoundError, OSError) as e:
             print_log(f"val dataset unavailable ({e}); skipping validation")
 
-    trainer = Trainer(cfg, model, train_loader, val_loader, work_dir=work_dir)
+    mesh = None
+    if args.tp > 1:
+        from patchrefinerv2_tpu.parallel.tp import tp_mesh
+
+        mesh = tp_mesh(args.tp)
+    trainer = Trainer(cfg, model, train_loader, val_loader, work_dir=work_dir,
+                      mesh=mesh)
     trainer.run()
 
 
