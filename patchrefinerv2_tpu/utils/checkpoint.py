@@ -151,6 +151,38 @@ def apply_config_pretrained(model, variables: dict) -> dict:
             stats = dict(stats, **{target: merge_pretrained(stats[target], sub_s)})
         print_log(f"loaded {cfg_key} from {path}")
 
+    # coarse_branch.pretrained_resource: the reference's in-branch ZoeDepth
+    # checkpoint ('local::<path>', zoedepth_v1.py:307-311 via
+    # model_io.load_state_from_resource) — grafted under params/coarse
+    cb = cfg.get("coarse_branch") or {}
+    res = cb.get("pretrained_resource") if hasattr(cb, "get") else None
+    if res:
+        path = str(res)
+        path = path[len("local::"):] if path.startswith("local::") else path
+        if not os.path.exists(path):
+            print_log(f"pretrained_resource={res} not found; keeping random init")
+        elif "coarse" in params:
+            if path.endswith((".pt", ".pth")):
+                from patchrefinerv2_tpu.utils.torch_convert import (
+                    convert_zoedepth,
+                    load_torch_state_dict,
+                )
+
+                sd = load_torch_state_dict(path)
+                prefix = "coarse_branch." if any(
+                    k.startswith("coarse_branch.") for k in sd
+                ) else ""
+                ckpt = convert_zoedepth(sd, prefix)
+            else:
+                ckpt = load_checkpoint(path)
+            sub_p = ckpt.get("params", ckpt)
+            if "coarse" in sub_p:
+                sub_p = sub_p["coarse"]
+            params = dict(
+                params, **{"coarse": merge_pretrained(params["coarse"], sub_p)}
+            )
+            print_log(f"loaded coarse pretrained_resource from {path}")
+
     for cfg_key in ("pretrained", "whole_pretrained"):
         path = cfg.get(cfg_key)
         if not path:

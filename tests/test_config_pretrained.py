@@ -66,3 +66,36 @@ def test_pretrain_coarse_model_and_pretrained(tmp_path):
     v4 = model4.init(jax.random.PRNGKey(2))
     v4b = apply_config_pretrained(model4, v4)
     assert _tree_equal(v4["params"], v4b["params"])
+
+
+def test_coarse_branch_pretrained_resource(tmp_path):
+    """coarse_branch.pretrained_resource ('local::<path>',
+    zoedepth_v1.py:307-311) grafts a ZoeDepth checkpoint under
+    params/coarse; missing paths keep random init."""
+    cfg = dict(tiny_config())
+    base = MODELS.build(dict(type="PatchRefinerPlus", config=dict(cfg)))
+    v_src = base.init(jax.random.PRNGKey(9))
+    ckpt = tmp_path / "zoe_ck"
+    save_checkpoint(str(ckpt), {"params": v_src["params"]["coarse"]})
+
+    cfg2 = dict(cfg)
+    cfg2["coarse_branch"] = dict(
+        cfg["coarse_branch"], pretrained_resource="local::" + str(ckpt)
+    )
+    model = MODELS.build(dict(type="PatchRefinerPlus", config=cfg2))
+    v = model.init(jax.random.PRNGKey(0))
+    assert not _tree_equal(v["params"]["coarse"], v_src["params"]["coarse"])
+    v = apply_config_pretrained(model, v)
+    assert _tree_equal(v["params"]["coarse"], v_src["params"]["coarse"])
+    assert not _tree_equal(v["params"]["fusion"], v_src["params"]["fusion"])
+
+    # missing path: logged, random init kept
+    cfg3 = dict(cfg)
+    cfg3["coarse_branch"] = dict(
+        cfg["coarse_branch"],
+        pretrained_resource="local::" + str(tmp_path / "nope.pt"),
+    )
+    model3 = MODELS.build(dict(type="PatchRefinerPlus", config=cfg3))
+    v3 = model3.init(jax.random.PRNGKey(1))
+    v3b = apply_config_pretrained(model3, v3)
+    assert _tree_equal(v3["params"], v3b["params"])

@@ -36,6 +36,22 @@ def test_spec_rules_match_suffixes():
     assert _spec_for(("attn", "qkv", "bias"), (288,), 4) == P()
 
 
+def test_shard_batch_pads_to_data_axis_only():
+    """On a 2-D mesh the batch pads to the 'data' axis size — padding to
+    the full device count would duplicate samples in the gradient."""
+    from patchrefinerv2_tpu.parallel.mesh import shard_batch
+
+    mesh = tp_mesh(4)  # data=2, model=4
+    batch = {"x": np.arange(6, dtype=np.float32).reshape(3, 2),
+             "name": np.asarray(["a", "b", "c"])}
+    out = shard_batch(batch, mesh)
+    assert "name" not in out  # non-numeric dropped
+    assert out["x"].shape == (4, 2)  # padded to data size 2 -> ceil(3/2)*2
+    np.testing.assert_array_equal(
+        np.asarray(out["x"])[:, 0], [0.0, 2.0, 4.0, 0.0]
+    )
+
+
 @pytest.fixture(scope="module")
 def model_and_vars():
     model = MODELS.build(dict(type="PatchRefinerPlus", config=tiny_config()))
