@@ -91,7 +91,9 @@ def main():
 
     results = []
     base_fps = None
-    for name, pairs in variants:
+
+    def measure(name, pairs):
+        nonlocal base_fps
         name, fps, err = run_variant(
             name, pairs, args.mode, args.iters, args.warmup, args.timeout)
         if fps is not None and base_fps is None and name == "baseline":
@@ -100,7 +102,29 @@ def main():
         line = f"{name:40s} {fps if fps is not None else 'FAIL':>10} {delta:>8} {err}"
         print(line, flush=True)
         results.append({"variant": name, "mode": args.mode, "fps": fps,
-                        "error": err or None})
+                        "error": err or None, "flags": dict(pairs)})
+        return fps
+
+    single_fps = {}
+    for name, pairs in variants:
+        fps = measure(name, pairs)
+        if len(pairs) == 1:
+            single_fps[pairs[0]] = fps
+
+    # winners-only combo: individually-positive flags composed (ALL mixes
+    # losers in; the best config is usually this subset). For PRV2_FUSED_GCU
+    # keep only the better of full/tail.
+    if base_fps and single_fps and not args.only:
+        best_by_key = {}
+        for (k, v), fps in single_fps.items():
+            if fps is not None and fps > base_fps * 1.005:
+                cur = best_by_key.get(k)
+                if cur is None or fps > cur[1]:
+                    best_by_key[k] = (v, fps)
+        winners = [(k, v) for k, (v, _) in sorted(best_by_key.items())]
+        if winners and len(winners) < len({k for k, _ in FLAGS}):
+            measure("WINNERS:" + ",".join(f"{k}={v}" for k, v in winners), winners)
+
     with open(os.path.join(ROOT, f"bench_matrix_{args.mode}.json"), "w") as f:
         json.dump(results, f, indent=1)
 
