@@ -211,6 +211,15 @@ class Trainer:
                     f"lr {lr:.2e} img/s {ips:.1f} "
                     + " ".join(f"{k}={v:.4f}" for k, v in losses.items())
                 )
+                # numerical-failure guard at the sync point we already pay
+                # for (SURVEY 5.3; the reference's nan diagnostics are
+                # per-loss prints, losses.py:56-66) — jax_debug_nans
+                # (--debug-nans) localizes the op when this fires
+                if not np.isfinite(losses.get("total_loss", 0.0)):
+                    print_log(
+                        f"WARNING: non-finite total_loss at step "
+                        f"{self.state.step}: {losses}"
+                    )
                 if jax.process_index() == 0:
                     self.metrics.log({"lr": lr, "imgs_per_sec": ips, **losses}, self.state.step)
             if (

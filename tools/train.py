@@ -36,11 +36,17 @@ def main():
         "--cfg-option", nargs="+", default=None, help="dotted key=value overrides"
     )
     parser.add_argument(
+        "--debug-nans", action="store_true",
+        help="jax_debug_nans: re-run the op that produced a NaN eagerly "
+        "and raise with its location (slow; debugging only)")
+    parser.add_argument(
         "--tp", type=int, default=1, metavar="M",
         help="tensor-parallel degree: train over a 2-D (data, model=M) "
         "mesh with the coarse trunk's attention/MLP kernels sharded over "
         "'model' (parallel/tp.py); 1 = pure data parallel")
     args = parser.parse_args()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     cfg = Config.fromfile(args.config)
     cfg.merge_from_options(args.cfg_option)
