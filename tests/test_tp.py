@@ -166,3 +166,31 @@ def test_tp_sharded_infer_rn_matches_single_device(model_and_vars):
         mesh=tp_mesh(2),
     )
     np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), atol=1e-5, rtol=1e-5)
+
+
+def test_tp_beit_trunk_matches_unsharded():
+    """TP rules also cover the BEiT trunk's param names (block{i}/attn/qkv,
+    attn/proj, block{i}/fc1, fc2 — the flagship ZoeDepth coarse); q_bias/
+    v_bias and the relative-position table stay replicated."""
+    from patchrefinerv2_tpu.models.backbones.beit import MidasDPTBEiT
+
+    mod = MidasDPTBEiT(
+        features=32, out_channels=(16, 24, 32, 32),
+        embed_dim=64, depth=4, num_heads=4, taps=(0, 1, 2, 3),
+    )
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(1, 64, 64, 3), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+
+    fn = jax.jit(lambda v, x: mod.apply(v, x)[0])
+    ref = np.asarray(fn(variables, x))
+
+    mesh = tp_mesh(4)
+    v_tp = shard_tp(variables, mesh)
+    n_tp = sum(
+        1 for leaf in jax.tree_util.tree_leaves(v_tp)
+        if any(s is not None for s in leaf.sharding.spec)
+    )
+    assert n_tp == 4 * 4  # 4 blocks x (qkv, proj, fc1, fc2)
+    out = np.asarray(fn(v_tp, jax.device_put(x, None)))
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
