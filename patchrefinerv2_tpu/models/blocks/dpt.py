@@ -177,10 +177,20 @@ class GatedConvUnit(nn.Module):
                 gate=self.gate, mode=mode,
             )
 
-        out = _conv_same(relu(x), k1, b1) + x
-        fused = _conv_same(jnp.concatenate([out, c_feat], axis=-1), k2, b2)
+        # opt-in dynamic-int8 path for the FLOP-sink convs (ops/quant.py,
+        # PRV2_INT8=1; ~1e-2 rel error — excluded from the parity bar and
+        # the default bench)
+        from patchrefinerv2_tpu.ops.quant import int8_enabled, quant_conv_same
+
+        conv = (
+            quant_conv_same
+            if int8_enabled(x.dtype) and not self.is_initializing()
+            else _conv_same
+        )
+        out = conv(relu(x), k1, b1) + x
+        fused = conv(jnp.concatenate([out, c_feat], axis=-1), k2, b2)
         fused = _layer_norm(fused, ln_s, ln_b)
-        fused = _conv_same(relu(fused), k3, None)
+        fused = conv(relu(fused), k3, None)
         if self.gate:
             return out * nn.sigmoid(fused)
         return fused

@@ -1,0 +1,86 @@
+"""Dynamic-int8 conv path (ops/quant.py, opt-in PRV2_INT8).
+
+Pins (a) the per-conv error bound of the int8 kernel against the f32
+conv, and (b) that the end-to-end tiled inference under PRV2_INT8 stays
+close to the f32 program (int8 rounding only — a wiring bug would be
+O(1) off). No reference counterpart: the reference has no quantized
+inference; this is the TPU-native serving mode gated on the
+tools/microbench_int8.py feasibility measurement.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from patchrefinerv2_tpu.models.blocks.dpt import _conv_same
+from patchrefinerv2_tpu.ops.quant import int8_enabled, quant_conv_same
+from patchrefinerv2_tpu.registry import MODELS
+from tests.test_models import tiny_config
+
+
+def test_quant_conv_error_bound():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 24, 32, 16), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 16, 16) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(16) * 0.01, jnp.float32)
+    ref = np.asarray(_conv_same(x, k, b))
+    out = np.asarray(quant_conv_same(x, k, b))
+    # symmetric int8 on gaussian data: relative L2 error ~1% of the
+    # activation scale; assert a loose 3% bound on the normalized error
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 0.03, f"int8 conv error {err:.4f}"
+    assert out.dtype == np.float32
+
+
+def test_quant_conv_per_channel_scales():
+    """A kernel with wildly different per-channel magnitudes must not lose
+    the small channels to one global scale."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4), jnp.float32)
+    k = np.ones((3, 3, 4, 2), np.float32)
+    k[..., 0] *= 100.0
+    k[..., 1] *= 0.01
+    ref = np.asarray(_conv_same(x, jnp.asarray(k), None))
+    out = np.asarray(quant_conv_same(x, jnp.asarray(k), None))
+    for c in range(2):
+        err = np.linalg.norm(out[..., c] - ref[..., c]) / np.linalg.norm(ref[..., c])
+        assert err < 0.03, f"channel {c} error {err:.4f}"
+
+
+def test_int8_flag_gating(monkeypatch):
+    monkeypatch.delenv("PRV2_INT8", raising=False)
+    assert not int8_enabled(jnp.bfloat16)
+    monkeypatch.setenv("PRV2_INT8", "1")
+    assert int8_enabled(jnp.bfloat16)
+    assert int8_enabled(jnp.float32)
+    assert not int8_enabled(jnp.int8)
+    monkeypatch.setenv("PRV2_INT8", "0")
+    assert not int8_enabled(jnp.float32)
+
+
+def test_int8_infer_close_to_f32(monkeypatch):
+    model = MODELS.build(dict(type="PatchRefinerPlus", config=tiny_config()))
+    variables = model.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    image_lr = jnp.asarray(rng.rand(1, 84, 112, 3), jnp.float32)
+    image_hr = jnp.asarray(rng.rand(1, 168, 224, 3), jnp.float32)
+
+    monkeypatch.delenv("PRV2_INT8", raising=False)
+    d_f32, _ = model.infer(variables, image_lr, image_hr, cai_mode="m1", process_num=2)
+
+    monkeypatch.setenv("PRV2_INT8", "1")
+    type(model)._jitted_infer.cache_clear()  # env flags bind at trace
+    d_i8, _ = model.infer(variables, image_lr, image_hr, cai_mode="m1", process_num=2)
+    monkeypatch.delenv("PRV2_INT8")
+    type(model)._jitted_infer.cache_clear()
+
+    d_f32, d_i8 = np.asarray(d_f32), np.asarray(d_i8)
+    assert np.isfinite(d_i8).all()
+    assert d_i8.shape == d_f32.shape
+    # depth maps agree to int8-rounding accumulation error, not exactly
+    rel = np.abs(d_i8 - d_f32) / np.maximum(np.abs(d_f32), 1e-3)
+    assert float(np.median(rel)) < 0.05, float(np.median(rel))
+    assert not np.array_equal(d_i8, d_f32)  # the int8 path actually ran
