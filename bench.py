@@ -197,6 +197,10 @@ def main():
         from jax.sharding import Mesh
 
         mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    if tp > 1 and (mesh is None or "model" not in getattr(mesh, "shape", {})):
+        print(f"BENCH_TP={tp} not satisfiable (n_dev={n_dev}, "
+              f"process_num={process_num}); measuring without TP", file=sys.stderr)
+    print(f"mesh: {dict(mesh.shape) if mesh is not None else None}", file=sys.stderr)
 
     rng = np.random.RandomState(0)
     image_lr = jnp.asarray(rng.rand(1, 384, 512, 3), jnp.float32)

@@ -201,6 +201,9 @@ class Tester:
 
         from patchrefinerv2_tpu.models.tiling import TileCfg
 
+        if self.mesh is not None:
+            print_log("model_complexity: whole-graph FLOPs are analyzed "
+                      "unsharded (mesh ignored)")
         tc = self.model.tile_cfg
         if tile_cfg is not None:
             tc = TileCfg(
@@ -322,6 +325,9 @@ class Tester:
 
         from patchrefinerv2_tpu.ops.resize import resize
 
+        if self.mesh is not None:
+            print_log("run_consistency: per-crop train-mode forwards run "
+                      "unsharded (mesh ignored)")
         dataset = self.dataloader.dataset
         h_starts = list(dataset.h_start_list)
         w_starts = list(dataset.w_start_list)

@@ -34,10 +34,14 @@ __all__ = ["int8_enabled", "quant_conv_same"]
 
 def int8_enabled(dtype) -> bool:
     """True when the dynamic-int8 conv path is switched on for this trace
-    (env read at trace time, like the PRV2_FUSED_* flags)."""
+    (env read at trace time, like the PRV2_FUSED_* flags). Gated to
+    2-byte dtypes — i.e. the bf16 INFERENCE pipeline: training runs f32,
+    and routing a train step through round/clip would silently zero the
+    gradients of the quantized convs. ``PRV2_FUSED_FORCE`` lifts the gate
+    for tests."""
     if os.environ.get("PRV2_INT8", "") in ("", "0", "false"):
         return False
-    return jnp.dtype(dtype) in (jnp.dtype(jnp.bfloat16), jnp.dtype(jnp.float32))
+    return jnp.dtype(dtype).itemsize == 2 or bool(os.environ.get("PRV2_FUSED_FORCE"))
 
 
 def _quantize_per_tensor(x):

@@ -126,34 +126,11 @@ def apply_config_pretrained(model, variables: dict) -> dict:
     params = variables["params"]
     stats = variables.get("batch_stats", {})
 
-    for cfg_key, target in (
-        ("pretrain_coarse_model", "coarse"),
-        ("pretrain_fine_model", "fine"),
-    ):
-        path = cfg.get(cfg_key)
-        if not path:
-            continue
-        if not os.path.exists(path):
-            print_log(f"{cfg_key}={path} not found; keeping random init")
-            continue
-        ckpt = _load_any(path)
-        sub_p = ckpt.get("params", ckpt)
-        # BaselinePretrain saves the branch tree at the root; estimator
-        # .pth conversions nest it under coarse/fine already
-        if target in sub_p:
-            sub_p = sub_p[target]
-        if target in params:
-            params = dict(params, **{target: merge_pretrained(params[target], sub_p)})
-        sub_s = ckpt.get("batch_stats") or {}
-        if target in sub_s:
-            sub_s = sub_s[target]
-        if sub_s and target in stats:
-            stats = dict(stats, **{target: merge_pretrained(stats[target], sub_s)})
-        print_log(f"loaded {cfg_key} from {path}")
-
     # coarse_branch.pretrained_resource: the reference's in-branch ZoeDepth
     # checkpoint ('local::<path>', zoedepth_v1.py:307-311 via
-    # model_io.load_state_from_resource) — grafted under params/coarse
+    # model_io.load_state_from_resource) — grafted under params/coarse.
+    # Applied FIRST (the reference loads it at coarse-branch build time),
+    # so pretrain_coarse_model / pretrained / whole_pretrained override it.
     cb = cfg.get("coarse_branch") or {}
     res = cb.get("pretrained_resource") if hasattr(cb, "get") else None
     if res:
@@ -182,6 +159,32 @@ def apply_config_pretrained(model, variables: dict) -> dict:
                 params, **{"coarse": merge_pretrained(params["coarse"], sub_p)}
             )
             print_log(f"loaded coarse pretrained_resource from {path}")
+
+
+    for cfg_key, target in (
+        ("pretrain_coarse_model", "coarse"),
+        ("pretrain_fine_model", "fine"),
+    ):
+        path = cfg.get(cfg_key)
+        if not path:
+            continue
+        if not os.path.exists(path):
+            print_log(f"{cfg_key}={path} not found; keeping random init")
+            continue
+        ckpt = _load_any(path)
+        sub_p = ckpt.get("params", ckpt)
+        # BaselinePretrain saves the branch tree at the root; estimator
+        # .pth conversions nest it under coarse/fine already
+        if target in sub_p:
+            sub_p = sub_p[target]
+        if target in params:
+            params = dict(params, **{target: merge_pretrained(params[target], sub_p)})
+        sub_s = ckpt.get("batch_stats") or {}
+        if target in sub_s:
+            sub_s = sub_s[target]
+        if sub_s and target in stats:
+            stats = dict(stats, **{target: merge_pretrained(stats[target], sub_s)})
+        print_log(f"loaded {cfg_key} from {path}")
 
     for cfg_key in ("pretrained", "whole_pretrained"):
         path = cfg.get(cfg_key)

@@ -99,3 +99,26 @@ def test_coarse_branch_pretrained_resource(tmp_path):
     v3 = model3.init(jax.random.PRNGKey(1))
     v3b = apply_config_pretrained(model3, v3)
     assert _tree_equal(v3["params"], v3b["params"])
+
+
+def test_pretrained_resource_precedence(tmp_path):
+    """pretrained_resource loads FIRST (build-time in the reference), so a
+    pretrain_coarse_model checkpoint must override it."""
+    cfg = dict(tiny_config())
+    base = MODELS.build(dict(type="PatchRefinerPlus", config=dict(cfg)))
+    v_res = base.init(jax.random.PRNGKey(11))
+    v_pre = base.init(jax.random.PRNGKey(12))
+    res_ckpt = tmp_path / "res_ck"
+    save_checkpoint(str(res_ckpt), {"params": v_res["params"]["coarse"]})
+    pre_ckpt = tmp_path / "pre_ck"
+    save_checkpoint(str(pre_ckpt), {"params": v_pre["params"]["coarse"]})
+
+    cfg2 = dict(cfg)
+    cfg2["coarse_branch"] = dict(
+        cfg["coarse_branch"], pretrained_resource="local::" + str(res_ckpt)
+    )
+    cfg2["pretrain_coarse_model"] = str(pre_ckpt)
+    model = MODELS.build(dict(type="PatchRefinerPlus", config=cfg2))
+    v = apply_config_pretrained(model, model.init(jax.random.PRNGKey(0)))
+    assert _tree_equal(v["params"]["coarse"], v_pre["params"]["coarse"])
+    assert not _tree_equal(v["params"]["coarse"], v_res["params"]["coarse"])

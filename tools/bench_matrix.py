@@ -36,8 +36,10 @@ FLAGS = [
 
 def run_variant(name, flag_pairs, mode, iters, warmup, timeout):
     spec = ",".join(f"{k}={v}" for k, v in flag_pairs)
-    env = dict(
-        os.environ,
+    # strip inherited PRV2_* flags so an exported kernel flag from an
+    # earlier manual session can't contaminate every variant's delta
+    env = {k: v for k, v in os.environ.items() if not k.startswith("PRV2_")}
+    env.update(
         BENCH_CAI_MODE=mode,
         BENCH_ITERS=str(iters),
         BENCH_WARMUP=str(warmup),
@@ -76,7 +78,10 @@ def main():
 
     variants = [("baseline", [])]
     if args.only:
-        pairs = [tuple(p.split("=", 1)) for p in args.only.split(",")]
+        pairs = []
+        for p in args.only.split(","):
+            k, _, v = p.partition("=")
+            pairs.append((k.strip(), v.strip() or "1"))
         variants.append((args.only, pairs))
     else:
         if not args.skip_singles:
@@ -122,7 +127,8 @@ def main():
                 if cur is None or fps > cur[1]:
                     best_by_key[k] = (v, fps)
         winners = [(k, v) for k, (v, _) in sorted(best_by_key.items())]
-        if winners and len(winners) < len({k for k, _ in FLAGS}):
+        all_flags = dict(next(p for n, p in variants if n == "ALL"))
+        if winners and dict(winners) != all_flags:
             measure("WINNERS:" + ",".join(f"{k}={v}" for k, v in winners), winners)
 
     with open(os.path.join(ROOT, f"bench_matrix_{args.mode}.json"), "w") as f:
