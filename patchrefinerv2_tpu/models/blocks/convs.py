@@ -84,17 +84,32 @@ class SingleConvCNNLN(nn.Module):
 
 
 class DoubleConv(nn.Module):
-    """(conv3x3 no-bias -> GELU) x2 (reference convs.py:31-45)."""
+    """(conv3x3 no-bias -> GELU) x2 (reference convs.py:31-45).
+
+    Params are declared explicitly (same tree as the nn.Conv pair:
+    Conv_0/Conv_1, kernel only) so the convs can dispatch to the dynamic-
+    int8 path (ops/quant.py, opt-in PRV2_INT8) without forking the
+    checkpoint layout — the same pattern as GatedConvUnit."""
 
     features: int
     mid_features: int | None = None
 
     @nn.compact
     def __call__(self, x):
+        from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams, _conv_same
+        from patchrefinerv2_tpu.ops.quant import int8_enabled, quant_conv_same
+
         mid = self.mid_features or self.features
-        x = gelu(nn.Conv(mid, (3, 3), use_bias=False)(x))
-        x = gelu(nn.Conv(self.features, (3, 3), use_bias=False)(x))
-        return x
+        k0, _ = _ConvParams((3, 3, x.shape[-1], mid), use_bias=False,
+                            name="Conv_0")()
+        k1, _ = _ConvParams((3, 3, mid, self.features), use_bias=False,
+                            name="Conv_1")()
+        conv = (
+            quant_conv_same
+            if int8_enabled(x.dtype) and not self.is_initializing()
+            else _conv_same
+        )
+        return gelu(conv(gelu(conv(x, k0, None)), k1, None))
 
 
 class DoubleResConv(nn.Module):

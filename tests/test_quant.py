@@ -91,3 +91,26 @@ def test_int8_infer_close_to_f32(monkeypatch):
     rel = np.abs(d_i8 - d_f32) / np.maximum(np.abs(d_f32), 1e-3)
     assert float(np.median(rel)) < 0.05, float(np.median(rel))
     assert not np.array_equal(d_i8, d_f32)  # the int8 path actually ran
+
+
+def test_doubleconv_int8_and_layout(monkeypatch):
+    """DoubleConv keeps the nn.Conv param tree (Conv_0/Conv_1, kernel only)
+    and its int8 path stays within the quantization error bound."""
+    import flax.linen as nn  # noqa: F401
+    from patchrefinerv2_tpu.models.blocks.convs import DoubleConv
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 16, 16, 8), jnp.float32)
+    mod = DoubleConv(features=8, mid_features=12)
+    monkeypatch.delenv("PRV2_INT8", raising=False)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    assert set(v["params"].keys()) == {"Conv_0", "Conv_1"}
+    assert set(v["params"]["Conv_0"].keys()) == {"kernel"}
+    assert v["params"]["Conv_0"]["kernel"].shape == (3, 3, 8, 12)
+    ref = np.asarray(mod.apply(v, x))
+
+    monkeypatch.setenv("PRV2_INT8", "1")
+    monkeypatch.setenv("PRV2_FUSED_FORCE", "1")
+    out = np.asarray(mod.apply(v, x))
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert 0 < err < 0.05, f"int8 DoubleConv error {err:.4f}"
