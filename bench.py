@@ -172,6 +172,14 @@ def main():
     process_num = int(os.environ.get("BENCH_PROCESS_NUM", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    # BENCH_INT8=1: measure the dynamic-int8 serving mode (ops/quant.py).
+    # NOT parity-preserving, so the metric is labeled "+int8" — never the
+    # default record.
+    int8 = os.environ.get("BENCH_INT8", "") not in ("", "0")
+    if int8:
+        os.environ["PRV2_INT8"] = "1"
+    else:
+        os.environ.pop("PRV2_INT8", None)
     # order matters on the exclusive tunneled chip: bounded backend probe
     # (claims + releases in a subprocess), then the fused-kernel probe
     # (another claim/release cycle), and only then the in-process claim
@@ -268,7 +276,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"4K frames/sec/chip, 4x4 split, {cai_mode}",
+                "metric": f"4K frames/sec/chip, 4x4 split, {cai_mode}"
+                + ("+int8" if int8 else ""),
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 5.0, 4),
