@@ -77,8 +77,21 @@ class SingleConvCNNLN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams, _conv_same
+        from patchrefinerv2_tpu.ops.quant import int8_enabled, quant_conv_same
+
         k = self.kernel_size
-        x = nn.Conv(self.features, (k, k), use_bias=False)(x)
+        # explicit Conv_0 kernel (same tree as nn.Conv) so the fusion-pair
+        # convs — the 512-channel concat sites — can take the dynamic-int8
+        # path (ops/quant.py, opt-in PRV2_INT8)
+        kern, _ = _ConvParams((k, k, x.shape[-1], self.features),
+                              use_bias=False, name="Conv_0")()
+        conv = (
+            quant_conv_same
+            if int8_enabled(x.dtype) and not self.is_initializing()
+            else _conv_same
+        )
+        x = conv(x, kern, None)
         x = DotLayerNorm(epsilon=1e-6, name="LayerNorm_0")(x)
         return gelu(x)
 
