@@ -114,3 +114,21 @@ def test_doubleconv_int8_and_layout(monkeypatch):
     out = np.asarray(mod.apply(v, x))
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert 0 < err < 0.05, f"int8 DoubleConv error {err:.4f}"
+
+
+def test_quant_conv_bf16(monkeypatch):
+    """bf16 is the real serving dtype: int8 conv must return bf16 and stay
+    within the (bf16-rounded) quantization bound, with PRV2_INT8 alone
+    (no FORCE override)."""
+    monkeypatch.setenv("PRV2_INT8", "1")
+    monkeypatch.delenv("PRV2_FUSED_FORCE", raising=False)
+    assert int8_enabled(jnp.bfloat16)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 16, 16, 8), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, 8, 8) * 0.1, jnp.bfloat16)
+    ref = np.asarray(_conv_same(x, k, None), np.float32)
+    out_j = quant_conv_same(x, k, None)
+    assert out_j.dtype == jnp.bfloat16
+    out = np.asarray(out_j, np.float32)
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert err < 0.05, f"bf16 int8 conv error {err:.4f}"
