@@ -178,6 +178,12 @@ def main():
     int8 = os.environ.get("BENCH_INT8", "") not in ("", "0")
     if int8:
         os.environ["PRV2_INT8"] = "1"
+        # the fused bf16 GCU kernel dispatches BEFORE the int8 quant path,
+        # so an auto-probed fused variant would report a mostly-bf16 number
+        # under the '+int8' label; measure the int8 graph unfused unless the
+        # caller explicitly forces a flag combination
+        if os.environ.get("BENCH_FUSED", "auto") == "auto":
+            os.environ["BENCH_FUSED"] = "0"
     else:
         os.environ.pop("PRV2_INT8", None)
     # order matters on the exclusive tunneled chip: bounded backend probe

@@ -57,6 +57,7 @@ def read_general_image(path: str, dataset_name: str,
         if img.shape[:2] != tuple(image_resolution):
             img = resize_hwc(img, tuple(image_resolution), mode="bicubic",
                              align_corners=True)
+            img = np.clip(img, 0.0, 1.0)  # bicubic lobes overshoot [0, 1]
     return np.ascontiguousarray(img, dtype=np.float32)
 
 

@@ -89,7 +89,6 @@ def _canny_numpy(image, sigma=1.0, low_threshold=0.1, high_threshold=0.2, mask=N
     from scipy import ndimage as ndi
 
     image = np.asarray(image, np.float64)
-    H, W = image.shape
     if mask is None:
         mask = np.ones(image.shape, bool)
     else:
@@ -101,34 +100,11 @@ def _canny_numpy(image, sigma=1.0, low_threshold=0.1, high_threshold=0.2, mask=N
 
     jsobel = ndi.sobel(smoothed, axis=1)
     isobel = ndi.sobel(smoothed, axis=0)
-    abs_i, abs_j = np.abs(isobel), np.abs(jsobel)
     magnitude = np.hypot(isobel, jsobel)
 
-    pm = np.pad(magnitude, 1)
-    nb = lambda di, dj: pm[1 + di : 1 + di + H, 1 + dj : 1 + dj + W]
-    eps = 1e-12
-    same_sign = (isobel * jsobel) >= 0
-    local_maxima = np.zeros(image.shape, bool)
+    from patchrefinerv2_tpu.ops.canny import canny_nms
 
-    # gradient mostly horizontal (|jsobel| >= |isobel|): interpolate between
-    # the left/right neighbours and their diagonal partners
-    horiz = abs_j >= abs_i
-    w = abs_i / (abs_j + eps)
-    for sgn, diag in ((same_sign, 1), (~same_sign, -1)):
-        sel = horiz & sgn
-        c_plus = nb(diag, 1) * w + nb(0, 1) * (1 - w)
-        c_minus = nb(-diag, -1) * w + nb(0, -1) * (1 - w)
-        local_maxima |= sel & (magnitude >= c_plus) & (magnitude >= c_minus)
-
-    # gradient mostly vertical
-    vert = ~horiz
-    w = abs_j / (abs_i + eps)
-    for sgn, diag in ((same_sign, 1), (~same_sign, -1)):
-        sel = vert & sgn
-        c_plus = nb(1, diag) * w + nb(1, 0) * (1 - w)
-        c_minus = nb(-1, -diag) * w + nb(-1, 0) * (1 - w)
-        local_maxima |= sel & (magnitude >= c_plus) & (magnitude >= c_minus)
-
+    local_maxima = canny_nms(np, isobel, jsobel, magnitude)
     local_maxima &= eroded_mask & (magnitude > 0)
     low_mask = local_maxima & (magnitude >= low_threshold)
     high_mask = local_maxima & (magnitude >= high_threshold)

@@ -329,6 +329,13 @@ class Tester:
             print_log("run_consistency: per-crop train-mode forwards run "
                       "unsharded (mesh ignored)")
         dataset = self.dataloader.dataset
+        if not hasattr(dataset, "h_start_list") or not hasattr(dataset, "evaluate_consistency"):
+            raise ValueError(
+                "run_consistency needs a consistency-mode dataset "
+                "(consistency=True, e.g. UnrealStereo4k) providing the fixed "
+                f"overlapping crop grid; {type(dataset).__name__} does not "
+                "(set test_dataloader.dataset.consistency=True in the config)"
+            )
         h_starts = list(dataset.h_start_list)
         w_starts = list(dataset.w_start_list)
         ph, pw = (int(s) for s in dataset.patch_raw_shape)

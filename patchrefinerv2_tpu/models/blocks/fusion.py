@@ -253,6 +253,12 @@ class BiDirectionalFusion(nn.Module):
 
         full_hw = c_feat[0].shape[1:3]
         n_levels = len(c_feat)
+        # the last UpSample's input: previous decoder feature (dec_chl[-2],
+        # or the deepest temp feature when the decoder is a single stage)
+        # concat level-0 fusion feature + 2 preds
+        tail_mid_in = (
+            self.dec_chl[-2] if len(self.dec_chl) >= 2 else self.temp_chl[-1]
+        ) + self.temp_chl[0] + 2
         fuse_tail = (
             not return_feat
             and not self.is_initializing()
@@ -265,7 +271,7 @@ class BiDirectionalFusion(nn.Module):
                 c_feat[0].shape[-1],
                 f_feat[0].shape[-1],
                 self.temp_chl[0],
-                self.dec_chl[-2] + self.temp_chl[0] + 2,
+                tail_mid_in,
                 self.dec_chl[-1],
                 c_feat[0].dtype,
             )

@@ -123,7 +123,14 @@ def fused_decoder_tail(xcat, base, w0, w1, wf, relu_clamp=True,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    rows = next(r for r in (8, 6, 4, 3, 2, 1) if h % r == 0)
+    # one neighbour block must supply the full 3-row halo, so row blocks
+    # below 3 are unsupported (rows=2/1 would slice a short halo and crash
+    # the jnp.where stitch)
+    rows = next((r for r in (8, 6, 4, 3) if h % r == 0), None)
+    if rows is None:
+        raise ValueError(
+            f"fused_decoder_tail: height {h} has no row-block divisor >= 3"
+        )
     n_blocks = h // rows
     grid = (b, n_blocks)
 

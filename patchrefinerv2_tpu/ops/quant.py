@@ -37,11 +37,13 @@ def int8_enabled(dtype) -> bool:
     (env read at trace time, like the PRV2_FUSED_* flags). Gated to
     2-byte dtypes — i.e. the bf16 INFERENCE pipeline: training runs f32,
     and routing a train step through round/clip would silently zero the
-    gradients of the quantized convs. ``PRV2_FUSED_FORCE`` lifts the gate
-    for tests."""
+    gradients of the quantized convs. ``PRV2_INT8_FORCE`` lifts the gate
+    for tests (deliberately NOT the fused kernels' ``PRV2_FUSED_FORCE``:
+    that flag left exported around an f32 training run must not flip the
+    train-step convs onto the zero-gradient quant path)."""
     if os.environ.get("PRV2_INT8", "") in ("", "0", "false"):
         return False
-    return jnp.dtype(dtype).itemsize == 2 or bool(os.environ.get("PRV2_FUSED_FORCE"))
+    return jnp.dtype(dtype).itemsize == 2 or bool(os.environ.get("PRV2_INT8_FORCE"))
 
 
 def _quantize_per_tensor(x):

@@ -240,6 +240,14 @@ class Trainer:
         cai_mode = tc.get("val_cai_mode", "m1")
         process_num = int(tc.get("val_process_num", 4))
         dataset = getattr(self.val_loader, "dataset", None)
+        # reuse the trainer's mesh so TP-sharded params validate through
+        # the sharded infer program instead of an implicit per-image
+        # weight all-gather (patchrefinerplus.infer handles both 1-D data
+        # and 2-D data x model meshes)
+        mesh = self.mesh if self.mesh is not None and self.mesh.devices.size > 1 else None
+        if mesh is not None:
+            dsz = mesh.shape.get("data", mesh.devices.size)
+            process_num = -(-process_num // dsz) * dsz  # round up to shardable
 
         def evaluate(model, variables, batch):
             if "image_hr" not in batch or "depth_gt" not in batch:
@@ -258,6 +266,7 @@ class Trainer:
                 process_num=process_num,
                 tile_cfg=tile_cfg,
                 seed=jax.random.PRNGKey(0),
+                mesh=mesh,
             )
             depth = np.asarray(depth)
             if dataset is None or not hasattr(dataset, "get_metrics"):

@@ -40,6 +40,20 @@ def test_fused_tail_matches_xla_chain(shape):
     np.testing.assert_allclose(np.asarray(f_k), np.asarray(f_r), atol=5e-6, rtol=5e-6)
 
 
+def test_fused_tail_rejects_unsupported_height():
+    """Heights with no row-block divisor >= 3 (the 3-row halo cannot be
+    sourced from one neighbour block) must fail loudly, not mid-kernel."""
+    b, h, w, cin, mid, co = 1, 10, 32, 4, 4, 3
+    k = jax.random.split(jax.random.PRNGKey(7), 5)
+    xcat = jax.random.normal(k[0], (b, h, w, cin))
+    base = jax.random.normal(k[1], (b, h, w, 1))
+    w0 = jax.random.normal(k[2], (3, 3, cin, mid)) * 0.1
+    w1 = jax.random.normal(k[3], (3, 3, mid, co)) * 0.1
+    wf = jax.random.normal(k[4], (3, 3, co, 1)) * 0.1
+    with pytest.raises(ValueError, match="row-block divisor"):
+        fused_decoder_tail(xcat, base, w0, w1, wf, interpret=True)
+
+
 def test_fused_tail_no_clamp():
     b, h, w, cin, mid, co = 1, 16, 32, 4, 4, 3
     k = jax.random.split(jax.random.PRNGKey(3), 5)

@@ -52,15 +52,19 @@ def test_quant_conv_per_channel_scales():
 
 def test_int8_flag_gating(monkeypatch):
     monkeypatch.delenv("PRV2_INT8", raising=False)
-    monkeypatch.delenv("PRV2_FUSED_FORCE", raising=False)
+    monkeypatch.delenv("PRV2_INT8_FORCE", raising=False)
     assert not int8_enabled(jnp.bfloat16)
     monkeypatch.setenv("PRV2_INT8", "1")
     assert int8_enabled(jnp.bfloat16)
     # f32 is the TRAINING dtype: quantization there would silently zero
     # the conv gradients, so the flag must not bite outside 2-byte infer
     assert not int8_enabled(jnp.float32)
-    monkeypatch.setenv("PRV2_FUSED_FORCE", "1")
+    monkeypatch.setenv("PRV2_INT8_FORCE", "1")
     assert int8_enabled(jnp.float32)  # test override
+    monkeypatch.delenv("PRV2_INT8_FORCE")
+    # the fused kernels' test flag must NOT lift the int8 dtype gate
+    monkeypatch.setenv("PRV2_FUSED_FORCE", "1")
+    assert not int8_enabled(jnp.float32)
     monkeypatch.delenv("PRV2_FUSED_FORCE")
     monkeypatch.setenv("PRV2_INT8", "0")
     assert not int8_enabled(jnp.float32)
@@ -77,11 +81,11 @@ def test_int8_infer_close_to_f32(monkeypatch):
     d_f32, _ = model.infer(variables, image_lr, image_hr, cai_mode="m1", process_num=2)
 
     monkeypatch.setenv("PRV2_INT8", "1")
-    monkeypatch.setenv("PRV2_FUSED_FORCE", "1")  # tiny model infers in f32
+    monkeypatch.setenv("PRV2_INT8_FORCE", "1")  # tiny model infers in f32
     type(model)._jitted_infer.cache_clear()  # env flags bind at trace
     d_i8, _ = model.infer(variables, image_lr, image_hr, cai_mode="m1", process_num=2)
     monkeypatch.delenv("PRV2_INT8")
-    monkeypatch.delenv("PRV2_FUSED_FORCE")
+    monkeypatch.delenv("PRV2_INT8_FORCE")
     type(model)._jitted_infer.cache_clear()
 
     d_f32, d_i8 = np.asarray(d_f32), np.asarray(d_i8)
@@ -110,7 +114,7 @@ def test_doubleconv_int8_and_layout(monkeypatch):
     ref = np.asarray(mod.apply(v, x))
 
     monkeypatch.setenv("PRV2_INT8", "1")
-    monkeypatch.setenv("PRV2_FUSED_FORCE", "1")
+    monkeypatch.setenv("PRV2_INT8_FORCE", "1")
     out = np.asarray(mod.apply(v, x))
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert 0 < err < 0.05, f"int8 DoubleConv error {err:.4f}"
@@ -121,7 +125,7 @@ def test_quant_conv_bf16(monkeypatch):
     within the (bf16-rounded) quantization bound, with PRV2_INT8 alone
     (no FORCE override)."""
     monkeypatch.setenv("PRV2_INT8", "1")
-    monkeypatch.delenv("PRV2_FUSED_FORCE", raising=False)
+    monkeypatch.delenv("PRV2_INT8_FORCE", raising=False)
     assert int8_enabled(jnp.bfloat16)
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(1, 16, 16, 8), jnp.bfloat16)

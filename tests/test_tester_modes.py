@@ -166,3 +166,12 @@ def test_vis_feat_and_show_gts(tiny_setup, tmp_path):
         assert any(f.startswith("fusion_") for f in os.listdir(out_dir))
     gt_dir = tester.show_gts(out_dir=str(tmp_path / "gts"))
     assert os.path.isdir(gt_dir) and len(os.listdir(gt_dir)) > 0
+
+
+def test_run_consistency_rejects_plain_dataset(tiny_setup, tmp_path):
+    """A non-consistency dataset (no fixed crop grid) must produce a clear
+    config error, not an AttributeError mid-loop."""
+    model, variables, loader = tiny_setup
+    tester = Tester({}, model, loader, work_dir=str(tmp_path))
+    with pytest.raises(ValueError, match="consistency-mode dataset"):
+        tester.run_consistency(variables, process_num=2)
