@@ -24,8 +24,13 @@ class SyntheticDataset(DepthDataset):
         seed: int = 0,
         consistency: bool = False,
         overlap: int | None = None,
+        missing_holes: bool = False,
         **kwargs,
     ):
+        # missing_holes: zero out a random rectangle of each depth map —
+        # stands in for real sensors' gt==0 holes so the only_missing_area
+        # loss paths (losses.missing_area_sampling_mask) see a live mask
+        self.missing_holes = missing_holes
         self.mode = mode
         self.length = length
         self.image_raw_shape = tuple(image_raw_shape)
@@ -62,6 +67,10 @@ class SyntheticDataset(DepthDataset):
         nh, nw = self.network_process_size
         image = rng.rand(h, w, 3).astype(np.float32)
         depth = (1.0 + 20.0 * rng.rand(h, w)).astype(np.float32)
+        if self.missing_holes:
+            hh, ww = rng.randint(h // 8, h // 3 + 1), rng.randint(w // 8, w // 3 + 1)
+            top, left = rng.randint(0, h - hh), rng.randint(0, w - ww)
+            depth[top : top + hh, left : left + ww] = 0.0
         image_lr = resize_hwc(image, (nh, nw))
         if self.mode == "train" and self.consistency:
             # 16 fixed overlapping crops (u4k_dataset.py:158-184 pattern)

@@ -9,8 +9,9 @@ Numerics match estimator/models/losses.py:
 * ScaleAndShiftInvariantDALoss (:547-598): mean/std alignment + grad match.
 * ScaleAndShiftInvariantLoss (:600-700): closed-form scale/shift (lstsq)
   alignment, optional gradient-domain 'inverse' variant. The
-  only_missing_area canny-mask path is host-side (evaluation-time) and not
-  implemented inside the jitted loss (documented divergence for round 1).
+  only_missing_area canny-mask path runs IN-GRAPH here
+  (missing_area_sampling_mask: canny_edges_graph + kornia-style blur),
+  where the reference detours per-image to CPU (losses.py:668-670).
 
 All losses take NHWC (B, H, W, 1) predictions/targets; masks are boolean.
 The reference's "mask too small -> return 0" guards (:45-47) become
@@ -118,6 +119,37 @@ class EALoss:
         return jnp.where(n > 1, loss, 0.0)
 
 
+def missing_area_sampling_mask(gt_depth, pseudo, min_depth, max_depth):
+    """In-graph port of the reference's only_missing_area sampling mask
+    (losses.py:657-678 and the identical block in the uncert loss
+    :733-752): pixels that are (a) valid gt, (b) inside a blurred gt==0
+    "missing" halo, and (c) near a canny edge of the log pseudo-label.
+    The reference detours per-image to CPU for the canny (extract_edges)
+    and kornia-blurs on device; here both stay inside the jitted program
+    (canny_edges_graph shares its NMS with the eval-time _canny_numpy via
+    ops/canny.py). ``gt_depth``: (B, H, W[, 1]); ``pseudo``: (B, H, W).
+    Returns a float32 (B, H, W) mask."""
+    from patchrefinerv2_tpu.models.losses_extra import (
+        _conv2d_same,
+        canny_edges_graph,
+    )
+
+    gt = gt_depth[..., 0] if gt_depth.ndim == 4 else gt_depth
+    # kornia.gaussian_blur2d(kernel=7x7, sigma=5, reflect)
+    t7 = jnp.arange(7, dtype=jnp.float32) - 3.0
+    g1 = jnp.exp(-0.5 * (t7 / 5.0) ** 2)
+    g1 = g1 / g1.sum()
+    blur_k = g1[:, None] * g1[None, :]
+    blur = lambda z: _conv2d_same(z, blur_k, "reflect")
+    missing_ext = blur((gt == 0.0).astype(jnp.float32)) > 0
+    valid = (gt > min_depth) & (gt < max_depth)
+    # extract_edges(pseudo_label, preprocess='log') semantics
+    log_t = jnp.where(pseudo > 0, jnp.log(jnp.clip(pseudo, 1.19e-7, None)), 0.0)
+    edges = canny_edges_graph(log_t)
+    edges_ext = blur(edges.astype(jnp.float32)) > 0
+    return (valid & missing_ext & edges_ext).astype(jnp.float32)
+
+
 def compute_scale_and_shift(prediction, target, mask):
     """Per-image closed-form lstsq (losses.py:523-544). Inputs (B, H, W)."""
     a_00 = jnp.sum(mask * prediction * prediction, (1, 2))
@@ -195,6 +227,11 @@ class ScaleAndShiftInvariantLoss:
         if self.ssi:
             scale, shift = compute_scale_and_shift(p, t, m)
             p = scale[:, None, None] * p + shift[:, None, None]
+
+        if self.only_missing_area:
+            m = missing_area_sampling_mask(gt_depth, t, min_depth, max_depth)
+            n = jnp.sum(m)
+
         if self.grad_matching:
             loss, _ = _grad_match((p - t)[..., None], m[..., None])
         else:

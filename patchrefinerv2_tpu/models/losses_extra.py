@@ -14,7 +14,8 @@ reference loss leaves the device:
   gradient cosine vs a 1:1 torch port) is pinned by
   tests/test_ranking_loss_divergence.py.
 * ScaleAndShiftInvariantUncertLoss (:703-779) — confidence-weighted grad
-  matching; the only_missing_area canny path is likewise not in-graph.
+  matching; the only_missing_area canny path runs in-graph
+  (losses.missing_area_sampling_mask).
 * EdgeClsLoss (:183-204) / ErrorLoss (:207-243) — dice + focal over
   incoherence/grad-error masks (losses.py:97-156).
 * BaseDistillLoss (:782-819), StructureDistillLoss (:845-941) with
@@ -101,7 +102,6 @@ def canny_edges_graph(x, sigma=1.0, low_threshold=0.1, high_threshold=0.2,
     full mask; everything is vectorized VPU work so the whole loss stays
     inside one jitted program (vs the reference's per-step CPU round trip,
     losses.py:462-470)."""
-    b, h, w = x.shape
     radius = max(1, int(4.0 * sigma + 0.5))
     t = jnp.arange(-radius, radius + 1, dtype=x.dtype)
     g1 = jnp.exp(-0.5 * (t / sigma) ** 2)
@@ -115,33 +115,11 @@ def canny_edges_graph(x, sigma=1.0, low_threshold=0.1, high_threshold=0.2,
     smooth = jnp.asarray([1.0, 2.0, 1.0])
     jsobel = _conv2d_same(smoothed, smooth[:, None] * deriv[None, :], "symmetric")
     isobel = _conv2d_same(smoothed, deriv[:, None] * smooth[None, :], "symmetric")
-    abs_i, abs_j = jnp.abs(isobel), jnp.abs(jsobel)
     magnitude = jnp.hypot(isobel, jsobel)
 
-    pm = jnp.pad(magnitude, ((0, 0), (1, 1), (1, 1)))
-    nb = lambda di, dj: pm[:, 1 + di : 1 + di + h, 1 + dj : 1 + dj + w]
-    eps = 1e-12
-    same_sign = (isobel * jsobel) >= 0
-    local_maxima = jnp.zeros(x.shape, bool)
+    from patchrefinerv2_tpu.ops.canny import canny_nms
 
-    # gradient mostly horizontal (|jsobel| >= |isobel|): interpolate between
-    # the left/right neighbours and their diagonal partners
-    horiz = abs_j >= abs_i
-    wgt = abs_i / (abs_j + eps)
-    for sgn, diag in ((same_sign, 1), (~same_sign, -1)):
-        sel = horiz & sgn
-        c_plus = nb(diag, 1) * wgt + nb(0, 1) * (1 - wgt)
-        c_minus = nb(-diag, -1) * wgt + nb(0, -1) * (1 - wgt)
-        local_maxima |= sel & (magnitude >= c_plus) & (magnitude >= c_minus)
-
-    # gradient mostly vertical
-    vert = ~horiz
-    wgt = abs_j / (abs_i + eps)
-    for sgn, diag in ((same_sign, 1), (~same_sign, -1)):
-        sel = vert & sgn
-        c_plus = nb(1, diag) * wgt + nb(1, 0) * (1 - wgt)
-        c_minus = nb(-1, -diag) * wgt + nb(-1, 0) * (1 - wgt)
-        local_maxima |= sel & (magnitude >= c_plus) & (magnitude >= c_minus)
+    local_maxima = canny_nms(jnp, isobel, jsobel, magnitude)
 
     interior = jnp.zeros(x.shape, bool).at[:, 1:-1, 1:-1].set(True)
     local_maxima = local_maxima & interior & (magnitude > 0)
@@ -309,6 +287,14 @@ class ScaleAndShiftInvariantUncertLoss:
         n = jnp.sum(m)
         scale, shift = compute_scale_and_shift(p, t, m)
         p = scale[:, None, None] * p + shift[:, None, None]
+        if self.only_missing_area:
+            # scale/shift above uses the FULL mask (reference order,
+            # losses.py:730-733); only the loss aggregation restricts to
+            # the missing-area sampling mask
+            from patchrefinerv2_tpu.models.losses import missing_area_sampling_mask
+
+            m = missing_area_sampling_mask(gt_depth, t, min_depth, max_depth)
+            n = jnp.sum(m)
         conf = 1.0 - u
         if self.grad_matching:
             d = (p - t) * m
