@@ -333,6 +333,15 @@ class PatchRefinerPlus:
         # inference compute dtype: bfloat16 halves HBM traffic and doubles
         # MXU throughput; blending stays float32 (config key infer_dtype)
         self.infer_dtype = jnp.dtype(cfg.get("infer_dtype", "float32"))
+        # training compute dtype (opt-in `train_dtype: bfloat16`): the
+        # forward/backward matmuls run bf16 (2x MXU, half the activation
+        # HBM) while the caller's params stay f32 master weights — the
+        # in-loss cast's transpose returns f32 gradients, and bf16 keeps
+        # f32's exponent range so no loss scaling is needed. Losses are
+        # computed in f32; batch_stats stay f32 (BN train mode normalizes
+        # with batch statistics, the running-stat update promotes to f32).
+        # No reference counterpart (the reference trains f32/amp).
+        self.train_dtype = jnp.dtype(cfg.get("train_dtype", "float32"))
 
         coarse_is_da2 = False
         if self.pretrain_stage:
@@ -466,15 +475,17 @@ class PatchRefinerPlus:
         ``return_feat`` the aux carries ``distill_feat`` (fusion-head
         final-conv input) for PatchRefinerSemi feature distillation."""
         if self.pretrain_stage:
+            net_vars, (img_lr,) = self._train_cast(variables, batch["image_lr"])
             out = self.net.apply(
-                variables,
-                batch["image_lr"],
+                net_vars,
+                img_lr,
                 self.hack_strategy,
                 rng,
                 method=PRPlusNet.pretrain_forward,
                 mutable=mutable,
             )
             depth, new_vars = out if mutable else (out, None)
+            depth = depth.astype(jnp.float32)
             sig = self.sigloss(depth, batch["depth_gt"], self.min_depth, self.max_depth)
             loss_dict = {"sig_fine_loss": sig, "total_loss": sig}
             return loss_dict, {"depth_pred": depth, "variables": new_vars}
@@ -485,10 +496,13 @@ class PatchRefinerPlus:
             ph, pw = self.patch_process_shape
             factor = jnp.asarray([pw / rw, ph / rh, pw / rw, ph / rh], jnp.float32)
             bboxs = bboxs * factor
+        net_vars, (img_lr, crops) = self._train_cast(
+            variables, batch["image_lr"], batch["crops_image_hr"]
+        )
         out = self.net.apply(
-            variables,
-            batch["image_lr"],
-            batch["crops_image_hr"],
+            net_vars,
+            img_lr,
+            crops,
             bboxs,
             train=bool(mutable),
             return_feat=return_feat,
@@ -500,6 +514,8 @@ class PatchRefinerPlus:
             depth, coarse_pred, distill_feat = fwd
         else:
             (depth, coarse_pred), distill_feat = fwd, None
+        depth = depth.astype(jnp.float32)
+        coarse_pred = coarse_pred.astype(jnp.float32)
         sig = self.sigloss(depth, batch["crop_depths"], self.min_depth, self.max_depth)
         gm = self.gmloss(depth, batch["crop_depths"], self.min_depth, self.max_depth)
         total = self.sigweight * sig + (1.0 - self.sigweight) * gm
@@ -698,6 +714,25 @@ class PatchRefinerPlus:
             image_lr = replicate_tree(image_lr, mesh)
             image_hr = replicate_tree(image_hr, mesh)
         return fn(variables, image_lr, image_hr, seed)
+
+    def _train_cast(self, variables, *arrays):
+        """Mixed-precision training cast (config key ``train_dtype``): the
+        f32 param leaves and the image inputs go to the compute dtype INSIDE
+        the traced loss, so the caller's f32 master params receive f32
+        gradients through the cast's transpose. batch_stats (and other
+        collections) stay f32 — BN train mode normalizes with batch
+        statistics, and the running-stat momentum update promotes back to
+        f32. No-op at the default f32."""
+        if self.train_dtype == jnp.float32:
+            return variables, arrays
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(self.train_dtype)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32
+            else a,
+            variables["params"],
+        )
+        variables = dict(variables, params=params)
+        return variables, tuple(a.astype(self.train_dtype) for a in arrays)
 
     def _infer_variables(self, variables):
         """Cast parameters to the inference dtype ONCE outside the jit (an
