@@ -22,6 +22,34 @@ def fix_random_seed(seed: int):
     return jax.random.PRNGKey(seed)
 
 
+def setup_distributed():
+    """Multi-host runtime init (the reference's setup_env/init_dist NCCL
+    analog, estimator/utils/dist.py:6-43). TPU pod slices discover their
+    peers through the TPU runtime, but ``jax.distributed.initialize()``
+    is still required for cross-host coordination (orbax multihost
+    checkpoint barriers, process_allgather over DCN, GPU/CPU clusters).
+    Opt-in: fires when the standard coordination env is present
+    (JAX_COORDINATOR_ADDRESS / COORDINATOR_ADDRESS) or PRV2_DIST=1 —
+    single-process runs stay untouched."""
+    import os
+
+    if (
+        os.environ.get("PRV2_DIST")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    ):
+        # must run before ANY backend query (jax.devices/process_count),
+        # so callers invoke this first thing after import
+        try:
+            jax.distributed.initialize()
+            print_log(
+                f"jax.distributed initialized: process "
+                f"{jax.process_index()}/{jax.process_count()}"
+            )
+        except Exception as e:  # pragma: no cover - env-specific
+            print_log(f"jax.distributed.initialize failed: {e}")
+
+
 def log_env(cfg=None):
     import jaxlib
 

@@ -20,10 +20,12 @@ from patchrefinerv2_tpu.registry import build_dataset, build_model
 from patchrefinerv2_tpu.datasets.base import DataLoader
 from patchrefinerv2_tpu.evaluation.tester import Tester
 from patchrefinerv2_tpu.utils.checkpoint import load_checkpoint, merge_pretrained
-from patchrefinerv2_tpu.utils.misc import fix_random_seed, log_env
+from patchrefinerv2_tpu.utils.misc import fix_random_seed, log_env, setup_distributed
 
 
 def main():
+    # before any backend query (multi-host coordination, opt-in via env)
+    setup_distributed()
     parser = argparse.ArgumentParser()
     parser.add_argument("config")
     parser.add_argument("--ckp-path", default=None)

@@ -19,11 +19,13 @@ from patchrefinerv2_tpu.config import Config
 from patchrefinerv2_tpu.registry import build_dataset, build_model
 from patchrefinerv2_tpu.datasets.base import DataLoader
 from patchrefinerv2_tpu.training.trainer import Trainer
-from patchrefinerv2_tpu.utils.misc import fix_random_seed, log_env
+from patchrefinerv2_tpu.utils.misc import fix_random_seed, log_env, setup_distributed
 from patchrefinerv2_tpu.utils.logging import print_log
 
 
 def main():
+    # before any backend query (multi-host coordination, opt-in via env)
+    setup_distributed()
     parser = argparse.ArgumentParser()
     parser.add_argument("config")
     parser.add_argument("--work-dir", default=None)
