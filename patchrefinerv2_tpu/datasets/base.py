@@ -80,6 +80,7 @@ class DataLoader:
         drop_last: bool = True,
         seed: int = 0,
         num_prefetch: int = 2,
+        num_workers: int = 1,
         process_index: int = 0,
         process_count: int = 1,
     ):
@@ -90,6 +91,10 @@ class DataLoader:
         self.seed = seed
         self.epoch = 0
         self.num_prefetch = num_prefetch
+        # >1 loads batches through a thread pool (numpy/cv2/file IO release
+        # the GIL, so host aug pipelines scale near-linearly); 1 keeps the
+        # single prefetch thread and with it the exact global-RNG aug order
+        self.num_workers = max(1, int(num_workers))
         self.process_index = process_index
         self.process_count = process_count
 
@@ -123,6 +128,31 @@ class DataLoader:
         if self.num_prefetch <= 0:
             for b in batches:
                 yield default_collate([self.dataset[i] for i in b])
+            return
+
+        if self.num_workers > 1:
+            # pooled loading with in-order yield: up to num_prefetch + 1
+            # batches materialize concurrently
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            load = lambda b: default_collate([self.dataset[i] for i in b])
+            ex = ThreadPoolExecutor(max_workers=self.num_workers)
+            pending: deque = deque()
+            it = iter(batches)
+            try:
+                for b in it:
+                    pending.append(ex.submit(load, b))
+                    if len(pending) > self.num_prefetch:
+                        break
+                while pending:
+                    fut = pending.popleft()
+                    nb = next(it, None)
+                    if nb is not None:
+                        pending.append(ex.submit(load, nb))
+                    yield fut.result()
+            finally:
+                ex.shutdown(wait=False, cancel_futures=True)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.num_prefetch)

@@ -333,6 +333,9 @@ class Trainer:
         if jax.process_index() != 0:
             return
         path = os.path.join(self.work_dir, f"checkpoint_{epoch:02d}")
+        # async: the d2h copy blocks (so the next step may donate the live
+        # buffers) but the disk write overlaps with the next epoch;
+        # run() joins the last write before returning
         save_checkpoint(
             path,
             {
@@ -342,6 +345,7 @@ class Trainer:
                 "epoch": epoch,
                 "step": self.state.step,
             },
+            block=False,
         )
         print_log(f"saved checkpoint to {path}")
 
@@ -380,6 +384,9 @@ class Trainer:
             if self.early_stop_epoch > 0 and epoch >= self.early_stop_epoch:
                 print_log(f"early stop at epoch {epoch}")
                 break
+        from patchrefinerv2_tpu.utils.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
 
 
 def _batch_size(batch: dict) -> int:

@@ -12,15 +12,38 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(path: str, tree: dict):
+_pending: ocp.StandardCheckpointer | None = None
+
+
+def save_checkpoint(path: str, tree: dict, block: bool = True):
+    """With ``block=False`` the device-to-host copy still happens here
+    (np.asarray — so the training step may donate/overwrite the live
+    buffers immediately), but the disk write runs in orbax's background
+    thread: the training loop resumes after the copy instead of stalling
+    on IO. A new save (or :func:`wait_for_checkpoints`) joins the
+    previous write first."""
+    global _pending
+    wait_for_checkpoints()
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     tree = jax.tree_util.tree_map(np.asarray, _strip_none(tree))
     ckptr.save(path, tree, force=True)
-    ckptr.wait_until_finished()
+    if block:
+        ckptr.wait_until_finished()
+    else:
+        _pending = ckptr
+
+
+def wait_for_checkpoints():
+    """Join the in-flight async checkpoint write, if any."""
+    global _pending
+    if _pending is not None:
+        _pending.wait_until_finished()
+        _pending = None
 
 
 def load_checkpoint(path: str) -> dict:
+    wait_for_checkpoints()  # a restore may race an in-flight write
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path)

@@ -122,3 +122,27 @@ def test_pretrained_resource_precedence(tmp_path):
     v = apply_config_pretrained(model, model.init(jax.random.PRNGKey(0)))
     assert _tree_equal(v["params"]["coarse"], v_pre["params"]["coarse"])
     assert not _tree_equal(v["params"]["coarse"], v_res["params"]["coarse"])
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """block=False saves overlap the disk write with compute; a new save or
+    load joins the in-flight write first (utils/checkpoint.py)."""
+    import numpy as np
+
+    from patchrefinerv2_tpu.utils.checkpoint import (
+        load_checkpoint,
+        wait_for_checkpoints,
+    )
+
+    t1 = {"params": {"w": np.arange(8, dtype=np.float32)}, "step": 3}
+    t2 = {"params": {"w": np.ones(8, dtype=np.float32)}, "step": 4}
+    save_checkpoint(str(tmp_path / "c1"), t1, block=False)
+    # second async save must join the first, then overwrite is fine
+    save_checkpoint(str(tmp_path / "c2"), t2, block=False)
+    got1 = load_checkpoint(str(tmp_path / "c1"))  # joins the in-flight write
+    got2 = load_checkpoint(str(tmp_path / "c2"))
+    wait_for_checkpoints()
+    np.testing.assert_array_equal(got1["params"]["w"], t1["params"]["w"])
+    assert int(got1["step"]) == 3
+    np.testing.assert_array_equal(got2["params"]["w"], t2["params"]["w"])
+    assert int(got2["step"]) == 4

@@ -270,3 +270,24 @@ def test_eth3d_float32_raw_depth(tmp_path):
     assert np.isfinite(d).all()  # inf sanitized (eth_dataset.py nan_to_num)
     assert d[0, 0] == 0.0
     np.testing.assert_allclose(d[1:, :], depth[1:, :], atol=1e-6)
+
+
+def test_dataloader_pooled_workers_order_and_content():
+    """num_workers > 1 must yield the same batches in the same order as the
+    single-thread path (in-order sliding-window pool)."""
+    from patchrefinerv2_tpu.datasets.base import DataLoader
+    from patchrefinerv2_tpu.registry import DATASETS
+
+    ds = DATASETS.build(dict(
+        type="SyntheticDataset", mode="train", length=7,
+        image_raw_shape=(64, 96), network_process_size=(32, 48),
+        patch_raw_shape=(32, 48),
+    ))
+    a = list(DataLoader(ds, batch_size=2, shuffle=True, seed=3, num_prefetch=0))
+    b = list(DataLoader(ds, batch_size=2, shuffle=True, seed=3,
+                        num_prefetch=2, num_workers=4))
+    assert len(a) == len(b) == 3  # drop_last
+    for ba, bb in zip(a, b):
+        assert set(ba) == set(bb)
+        np.testing.assert_array_equal(ba["image_lr"], bb["image_lr"])
+        np.testing.assert_array_equal(ba["crop_depths"], bb["crop_depths"])

@@ -70,6 +70,7 @@ def main():
         batch_size=cfg.train_dataloader.get("batch_size", 4),
         shuffle=True,
         seed=args.seed,
+        num_workers=cfg.train_dataloader.get("num_workers", 1),
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )
