@@ -85,6 +85,7 @@ def main():
     ds_cfg = cfg.get(loader_key, cfg.get("val_dataloader"))
     dataset = build_dataset(ds_cfg.dataset)
     loader = DataLoader(dataset, batch_size=1, shuffle=False,
+                        num_workers=ds_cfg.get("num_workers", 1),
                         process_index=jax.process_index(), process_count=jax.process_count())
 
     mesh = None
