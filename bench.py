@@ -119,15 +119,41 @@ _FUSED_FLAGS = {
 }
 
 
-def _maybe_enable_fused():
-    """BENCH_FUSED=auto (default): probe the fused-kernel config in a
-    BOUNDED subprocess (one m1 frame) and enable the flags only if it
-    compiles and runs — mosaic compile failures or ceilings then cost the
-    probe its timeout instead of the whole measurement, and the probe
-    warms the persistent compilation cache for this process. ``1`` forces
-    the flags on, ``0`` leaves everything unfused.
-    ``flags:K=V,K=V`` (tools/bench_matrix.py) replaces the flag set with
-    exactly the listed subset and measures only that variant."""
+def _measured_winner_flags(cai_mode):
+    """Best measured flag combination from a prior tools/bench_matrix.py
+    run (bench_matrix_<mode>.json at the repo root), or None when no
+    usable record exists. Returns {} when the matrix says baseline wins —
+    the caller can then skip the fused probe entirely."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    for mode in (cai_mode, "m1"):
+        path = os.path.join(root, f"bench_matrix_{mode}.json")
+        try:
+            with open(path) as f:
+                results = json.load(f)
+        except (OSError, ValueError):
+            continue
+        valid = [r for r in results if r.get("fps")]
+        if not valid:
+            continue
+        best = max(valid, key=lambda r: r["fps"])
+        base = next((r["fps"] for r in valid if r["variant"] == "baseline"), None)
+        # require a >0.5% margin over baseline before trusting a combo
+        if base is not None and best["fps"] <= base * 1.005:
+            return {}
+        return dict(best.get("flags") or {})
+    return None
+
+
+def _maybe_enable_fused(cai_mode="m1"):
+    """BENCH_FUSED=auto (default): use the best measured flag combination
+    from a prior bench-matrix record when one exists, else probe the
+    all-on fused config in a BOUNDED subprocess (one m1 frame) and enable
+    the flags only if it compiles and runs — mosaic compile failures or
+    ceilings then cost the probe its timeout instead of the whole
+    measurement, and the probe warms the persistent compilation cache for
+    this process. ``1`` forces the flags on, ``0`` leaves everything
+    unfused. ``flags:K=V,K=V`` (tools/bench_matrix.py) replaces the flag
+    set with exactly the listed subset and measures only that variant."""
     choice = os.environ.get("BENCH_FUSED", "auto")
     if choice == "0":
         return False
@@ -142,10 +168,24 @@ def _maybe_enable_fused():
     if choice != "auto":
         os.environ.update(_FUSED_FLAGS)
         return True
+    measured = _measured_winner_flags(cai_mode)
+    if measured is not None:
+        if not measured:
+            print("bench-matrix record: baseline wins; measuring unfused",
+                  file=sys.stderr)
+            return False
+        _FUSED_FLAGS.clear()
+        _FUSED_FLAGS.update(measured)
+        print(f"bench-matrix record: using measured winner flags {measured}",
+              file=sys.stderr)
+        # still bound-probe: the record may predate a code change
     import subprocess
 
+    # pass the exact flag set: the child re-imports this module, so its
+    # default _FUSED_FLAGS would otherwise shadow a measured-winner subset
+    spec = ",".join(f"{k}={v}" for k, v in _FUSED_FLAGS.items())
     env = dict(os.environ, BENCH_CAI_MODE="m1", BENCH_ITERS="1",
-               BENCH_WARMUP="0", BENCH_FUSED="1")
+               BENCH_WARMUP="0", BENCH_FUSED="flags:" + spec)
     try:
         probe = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -190,7 +230,7 @@ def main():
     # (claims + releases in a subprocess), then the fused-kernel probe
     # (another claim/release cycle), and only then the in-process claim
     _wait_for_backend()
-    fused_ok = _maybe_enable_fused()
+    fused_ok = _maybe_enable_fused(cai_mode)
     jax.devices()
 
     model = MODELS.build(dict(type="PatchRefinerPlus", config=flagship_config()))
