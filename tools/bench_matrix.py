@@ -96,6 +96,7 @@ def main():
 
     results = []
     base_fps = None
+    out_path = os.path.join(ROOT, f"bench_matrix_{args.mode}.json")
 
     def measure(name, pairs):
         nonlocal base_fps
@@ -108,6 +109,9 @@ def main():
         print(line, flush=True)
         results.append({"variant": name, "mode": args.mode, "fps": fps,
                         "error": err or None, "flags": dict(pairs)})
+        # write after every variant: a killed session keeps what it measured
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
         return fps
 
     single_fps = {}
@@ -131,7 +135,7 @@ def main():
         if winners and dict(winners) != all_flags:
             measure("WINNERS:" + ",".join(f"{k}={v}" for k, v in winners), winners)
 
-    with open(os.path.join(ROOT, f"bench_matrix_{args.mode}.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
 
