@@ -54,7 +54,19 @@ def run_variant(name, flag_pairs, mode, iters, warmup, timeout):
         return name, None, "timeout"
     if proc.returncode != 0:
         tail = (proc.stderr or "").strip().splitlines()
-        return name, None, tail[-1] if tail else f"rc={proc.returncode}"
+        # newest-JAX tracebacks end with a "removed its internal frames"
+        # note; the actual exception line sits above it — search backwards
+        # for something that looks like `SomeError: ...`
+        err = None
+        for line in reversed(tail):
+            s = line.strip()
+            if ":" in s and s.split(":", 1)[0].replace(".", "").isidentifier() \
+                    and ("Error" in s.split(":", 1)[0] or "Exception" in s.split(":", 1)[0]):
+                err = s[:300]
+                break
+        if err is None:
+            err = tail[-1][:300] if tail else f"rc={proc.returncode}"
+        return name, None, err
     for line in proc.stdout.splitlines():
         try:
             rec = json.loads(line)
