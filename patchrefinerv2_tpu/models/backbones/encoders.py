@@ -94,11 +94,24 @@ class MBConv(nn.Module):
         def act(v):
             return {"silu": _silu, "relu": nn.relu, "hardswish": _hardswish}[self.act](v)
 
+        from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams, _conv_same
+        from patchrefinerv2_tpu.ops.quant import int8_enabled, quant_conv_same
+
+        # the 1x1 pointwise convs carry most of the encoder's FLOPs; give
+        # them explicit params (same tree as nn.Conv) so the opt-in
+        # dynamic-int8 serving path (ops/quant.py, PRV2_INT8) covers the
+        # refiner encoder too, not just the C2F decoder
+        pconv = (
+            quant_conv_same
+            if int8_enabled(x.dtype) and not self.is_initializing()
+            else _conv_same
+        )
         in_ch = x.shape[-1]
         mid = self.expand_ch or in_ch * self.expand
         h = x
         if mid != in_ch:
-            h = nn.Conv(mid, (1, 1), use_bias=False, name="conv_pw")(h)
+            kpw, _ = _ConvParams((1, 1, in_ch, mid), use_bias=False, name="conv_pw")()
+            h = pconv(h, kpw, None)
             h = _BN(eps=self.bn_eps, name="bn1")(h, train)
             h = act(h)
         k2 = self.kernel // 2
@@ -115,7 +128,8 @@ class MBConv(nn.Module):
         h = act(h)
         if self.se_reduced:
             h = SqueezeExcite(self.se_reduced, self.se_gate, self.se_act, name="se")(h)
-        h = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="conv_pwl")(h)
+        kpwl, _ = _ConvParams((1, 1, mid, self.out_ch), use_bias=False, name="conv_pwl")()
+        h = pconv(h, kpwl, None)
         h = _BN(eps=self.bn_eps, name="bn3")(h, train)
         if self.stride == 1 and in_ch == self.out_ch:
             h = h + x

@@ -174,7 +174,11 @@ def _build(n, h, w, c, mode, gate, dtype_name, interpret):
         if mode == "full":
             xpad = jnp.pad(xw, ((0, 0), (2, 2), (0, 0)))  # (bh+4, W+4, C)
             # conv1 over the extended region (bh+2, W+2) that conv2 reads
-            acc1 = conv3x3(jnp.maximum(xpad, 0.0), k1_ref, bh + 2, w + 2)
+            # NB: dtype-matched zero — a python-float 0.0 here lowers to a
+            # `vector.broadcast f32 -> bf16` that trips mosaic's verifier
+            # on real TPUs (interpret mode doesn't catch it)
+            acc1 = conv3x3(jnp.maximum(xpad, jnp.zeros((), xpad.dtype)),
+                           k1_ref, bh + 2, w + 2)
             conv1 = (acc1 + b1_ref[0].astype(jnp.float32)).astype(dtype)
             out_ext = conv1 + xpad[1 : bh + 3, 1 : w + 3, :]
             # re-zero out-of-tensor rows/cols (position (r, j) maps to tensor
@@ -199,7 +203,7 @@ def _build(n, h, w, c, mode, gate, dtype_name, interpret):
         ln = ((xf - mean) * mul + lb_ref[0].astype(jnp.float32)).astype(dtype)
 
         proj = jax.lax.dot_general(
-            jnp.maximum(ln, 0.0), k3_ref[...],
+            jnp.maximum(ln, jnp.zeros((), ln.dtype)), k3_ref[...],
             (((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(dtype)

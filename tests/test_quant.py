@@ -120,6 +120,30 @@ def test_doubleconv_int8_and_layout(monkeypatch):
     assert 0 < err < 0.05, f"int8 DoubleConv error {err:.4f}"
 
 
+def test_mbconv_int8_and_layout(monkeypatch):
+    """The refiner-encoder MBConv pointwise convs (the per-patch FLOP bulk)
+    keep the nn.Conv param tree (conv_pw/conv_pwl, kernel only) and take
+    the int8 path under PRV2_INT8 within the quantization error bound."""
+    from patchrefinerv2_tpu.models.backbones.encoders import MBConv
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 16, 16, 8), jnp.float32)
+    mod = MBConv(out_ch=8, kernel=3, stride=1, expand=4, se_reduced=None)
+    monkeypatch.delenv("PRV2_INT8", raising=False)
+    v = mod.init(jax.random.PRNGKey(0), x, False)
+    assert set(v["params"]["conv_pw"].keys()) == {"kernel"}
+    assert v["params"]["conv_pw"]["kernel"].shape == (1, 1, 8, 32)
+    assert set(v["params"]["conv_pwl"].keys()) == {"kernel"}
+    assert v["params"]["conv_pwl"]["kernel"].shape == (1, 1, 32, 8)
+    ref = np.asarray(mod.apply(v, x, False))
+
+    monkeypatch.setenv("PRV2_INT8", "1")
+    monkeypatch.setenv("PRV2_INT8_FORCE", "1")
+    out = np.asarray(mod.apply(v, x, False))
+    err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert 0 < err < 0.05, f"int8 MBConv error {err:.4f}"
+
+
 def test_quant_conv_bf16(monkeypatch):
     """bf16 is the real serving dtype: int8 conv must return bf16 and stay
     within the (bf16-rounded) quantization bound, with PRV2_INT8 alone
