@@ -84,10 +84,13 @@ def _vmem_need(bh, bw, c0c, f0c, tc, midc, outc, itemsize):
 
 def _pick_blocks(h, w, c0c, f0c, tc, midc, outc, itemsize):
     budget = 11 * 1024 * 1024
+    # the depth output moves as rank-3 (1, bh, bw) blocks, so bh sits on
+    # the sublane axis: mosaic requires it divisible by 8 (bh=4 trips
+    # "block shape ... divisible by 8" on the real chip)
     for bw in (256, 128):
         if w % bw:
             continue
-        for bh in (8, 4):
+        for bh in (8,):
             if h % bh:
                 continue
             if _vmem_need(bh, bw, c0c, f0c, tc, midc, outc, itemsize) < budget:
@@ -113,7 +116,12 @@ def fused_f2r_supported(shape, c0_ch: int, f0_ch: int, tc: int, mid_ch: int,
 
 def _gelu(x):
     if x.dtype == jnp.bfloat16:
-        return jax.nn.gelu(x, approximate=True)
+        # tanh-gelu, computed in f32: mosaic's bf16 transcendental
+        # lowerings are unreliable on real TPUs (the bf16 logistic fails
+        # its verifier outright — see fused_gcu), and the model's own
+        # bf16 gelu upcasts to f32 on the VPU anyway, so rounding matches
+        return jax.nn.gelu(x.astype(jnp.float32), approximate=True).astype(
+            jnp.bfloat16)
     return jax.nn.gelu(x, approximate=False)
 
 
@@ -405,10 +413,13 @@ def _head_vmem_need(bh, bw, cp, cm, ct, cc, itemsize):
 
 def _head_pick_blocks(h, w, cp, cm, ct, cc, itemsize):
     budget = 11 * 1024 * 1024
-    for bw in (256, 128):
+    # outputs[1] is rank-3 (1, bh, bw): bh must divide by 8 (see
+    # _pick_blocks) — prefer the narrower bw first so bh=8 fits VMEM at
+    # the 256-channel refinenet1 width
+    for bw in (128, 256):
         if w % bw:
             continue
-        for bh in (8, 4):
+        for bh in (8,):
             if h % bh:
                 continue
             if _head_vmem_need(bh, bw, cp, cm, ct, cc, itemsize) < budget:
@@ -524,7 +535,10 @@ def _build_head(n, h, w, cp, cm, ct, cc, gate, dtype_name, interpret):
             (((2,), (0,)), ((), ())), preferred_element_type=f32,
         ).astype(dtype)
         if gate:
-            y = g1[1 : bh + 1, 1 : bw + 1, :] * jax.nn.sigmoid(proj)
+            # f32 sigmoid: mosaic's bf16 logistic lowering fails its own
+            # verifier on real TPUs (see ops/fused_gcu.py)
+            y = g1[1 : bh + 1, 1 : bw + 1, :] * jax.nn.sigmoid(
+                proj.astype(f32)).astype(dtype)
         else:
             y = proj
 

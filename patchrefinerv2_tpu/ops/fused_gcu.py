@@ -209,7 +209,12 @@ def _build(n, h, w, c, mode, gate, dtype_name, interpret):
         ).astype(dtype)
 
         if gate:
-            out_ref[0] = out_ext[1 : bh + 1, 1 : w + 1, :] * jax.nn.sigmoid(proj)
+            # sigmoid runs in f32: mosaic's bf16 logistic lowering emits a
+            # `vector.broadcast f32 -> bf16` that fails the verifier on real
+            # TPUs (repro'd on v5e; interpret mode doesn't catch it). XLA's
+            # own bf16 sigmoid also upcasts, so rounding matches the chain.
+            sig = jax.nn.sigmoid(proj.astype(jnp.float32)).astype(dtype)
+            out_ref[0] = out_ext[1 : bh + 1, 1 : w + 1, :] * sig
         else:
             out_ref[0] = proj
 
