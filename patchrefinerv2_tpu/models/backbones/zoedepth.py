@@ -46,6 +46,16 @@ def inv_attractor(dx, alpha: float, gamma: int):
     return dx / (1 + alpha * dx**gamma)
 
 
+# Reference quirk (attractor.py:85-136, 164-207): BOTH AttractorLayer
+# forward paths call ``dist(dx)`` without forwarding self.alpha/self.gamma,
+# so the torch.jit.script defaults alpha=300, gamma=2 are what every
+# published checkpoint was trained with — the config's attractor_alpha=1000
+# (config_zoedepth.json:9, estimator configs) is recorded but inert. We
+# keep the config fields for schema parity but compute with the defaults.
+_ATTRACTOR_ALPHA = 300.0
+_ATTRACTOR_GAMMA = 2
+
+
 class SeedBinRegressorUnnormed(nn.Module):
     """localbins_layers.py:71-96: softplus MLP, centers unbounded."""
 
@@ -114,7 +124,9 @@ class AttractorLayerUnnormed(nn.Module):
         b_centers = _interp(b_prev, x.shape[1:3])  # (B,H,W,nb)
         dist = inv_attractor if self.attractor_type == "inv" else exp_attractor
         dx = A[..., :, None] - b_centers[..., None, :]  # (B,H,W,na,nb)
-        delta = dist(dx, self.alpha, self.gamma)
+        # quirk match: the reference never forwards self.alpha/gamma
+        # (see _ATTRACTOR_ALPHA note above)
+        delta = dist(dx, _ATTRACTOR_ALPHA, _ATTRACTOR_GAMMA)
         delta = delta.mean(axis=-2) if self.kind == "mean" else delta.sum(axis=-2)
         b_new = b_centers + delta
         return b_new, b_new
@@ -147,7 +159,9 @@ class AttractorLayerNormed(nn.Module):
         b_centers = _interp(b_prev, x.shape[1:3])
         dist = inv_attractor if self.attractor_type == "inv" else exp_attractor
         dx = A_normed[..., :, None] - b_centers[..., None, :]
-        delta = dist(dx, self.alpha, self.gamma)
+        # quirk match: the reference never forwards self.alpha/gamma
+        # (see _ATTRACTOR_ALPHA note above)
+        delta = dist(dx, _ATTRACTOR_ALPHA, _ATTRACTOR_GAMMA)
         delta = delta.mean(axis=-2) if self.kind == "mean" else delta.sum(axis=-2)
         b_new = b_centers + delta
         B_centers = (self.max_depth - self.min_depth) * b_new + self.min_depth

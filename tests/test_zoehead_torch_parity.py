@@ -69,7 +69,10 @@ class TorchZoeHead(tnn.Module):
             A = self.atts[i](h)
             bc = self._up(b_prev, h.shape[-2:])
             dx = A.unsqueeze(2) - bc.unsqueeze(1)  # (B, na, nb, H, W)
-            delta = (dx / (1 + ALPHA * dx**GAMMA)).mean(dim=1)
+            # the reference calls dist(dx) WITHOUT forwarding self.alpha/
+            # gamma (attractor.py:196), so the jit-script defaults 300/2
+            # apply regardless of the configured ALPHA=1000
+            delta = (dx / (1 + 300.0 * dx**2)).mean(dim=1)
             b_new = bc + delta
             b_prev, b_centers, prev_emb = b_new, b_new, emb
 

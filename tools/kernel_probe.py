@@ -37,24 +37,24 @@ def _time(fn, *args):
     return out, (time.perf_counter() - t0) / iters * 1e3
 
 
-def probe_gcu(n, check):
-    from patchrefinerv2_tpu.ops.fused_gcu import fused_gcu
+def probe_gcu(n, check, mode="full", c=256, h=192, w=256):
+    from patchrefinerv2_tpu.ops.fused_gcu import gated_conv_unit_fused
 
-    # refinenet1 GCU at full patch res: features=32, coarse feature 32ch
-    h, w, c = 384, 512, 32
-    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    # the hot C2F decoder GCU instance: 192x256x256 (see fused_gcu.py header)
+    ks = jax.random.split(jax.random.PRNGKey(0), 10)
     x = _rand(ks[0], (n, h, w, c))
-    cf = _rand(ks[1], (n, h, w, c))
-    k1 = _rand(ks[2], (3, 3, c, c), scale=0.1)
+    p2b = _rand(ks[1], (n, h, w, c))
+    k1 = _rand(ks[2], (3, 3, c, c), scale=0.05)
     b1 = _rand(ks[3], (c,), scale=0.1)
-    k2 = _rand(ks[4], (3, 3, 2 * c, c), scale=0.1)
+    k2a = _rand(ks[4], (3, 3, c, c), scale=0.05)
     b2 = _rand(ks[5], (c,), scale=0.1)
-    ln = (_rand(ks[6], (c,), scale=0.1) + 1.0, _rand(ks[7], (c,), scale=0.1))
-    k3 = _rand(ks[2], (c, c), scale=0.1)
+    lns = _rand(ks[6], (c,), scale=0.1) + 1.0
+    lnb = _rand(ks[7], (c,), scale=0.1)
+    k3 = _rand(ks[8], (c, c), scale=0.1)
 
     def run(interpret):
-        return fused_gcu(x, cf, k1, b1, k2, b2, ln, k3, gate=True,
-                         mode="full", interpret=interpret)
+        return gated_conv_unit_fused(x, p2b, k1, b1, k2a, b2, lns, lnb, k3,
+                                     gate=True, mode=mode, interpret=interpret)
 
     out, ms = _time(lambda: run(False))
     rel = None
