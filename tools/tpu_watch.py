@@ -60,12 +60,13 @@ def main():
         print("[tpu_watch] gave up: backend never came up", flush=True)
         return 1
 
+    rc = 0
     for mode in args.modes.split(","):
         cmd = [sys.executable, os.path.join(ROOT, "tools", "bench_matrix.py"),
                "--mode", mode.strip()] + (args.matrix_args.split() if args.matrix_args else [])
         print("[tpu_watch] run:", " ".join(cmd), flush=True)
-        subprocess.run(cmd)
-    return 0
+        rc = max(rc, subprocess.run(cmd).returncode)
+    return rc
 
 
 if __name__ == "__main__":
