@@ -57,11 +57,18 @@ def fused_gcu_mode(shape, features: int, dtype) -> str:
         return ""
     mode = "tail" if flag == "tail" else "full"
     n, h, w, c = shape
-    # c >= 128 runs plain 3D dots (lane-aligned); smaller channel counts
-    # use the width-im2col 3-dot form (e.g. the 32-ch full-res
-    # output_conv2_fusion instance)
-    if c != features or c > 512 or (c % 128 and (c > 96 or c % 8)):
+    # c >= 128 runs plain 3D dots (lane-aligned). The small-C width-im2col
+    # form (e.g. the 32-ch full-res output_conv2_fusion instance) crashes
+    # the remote Mosaic compiler at every block size tried (bh=4,2 —
+    # HTTP-500 helper exit 1, v5e 2026-08), so it is interpret/test-only
+    # (PRV2_FUSED_FORCE); on hardware those instances stay on XLA.
+    if c != features or c > 512:
         return ""
+    if c % 128:
+        if not os.environ.get("PRV2_FUSED_FORCE"):
+            return ""
+        if c > 96 or c % 8:
+            return ""
     if w % 128 or w > 1024:
         return ""
     if h % 8 or h < 16:
@@ -77,24 +84,43 @@ def _lanes(c):
     return -(-c // 128) * 128
 
 
-def _pick_bh(h: int, w: int, c: int, itemsize: int) -> int:
-    """Row-block size: keep the window + f32 accumulators + double-buffered
-    blocks inside mosaic's ~16 MB scoped-VMEM ceiling (lane dims pad to
-    128, which dominates for small channel counts)."""
-    budget = 11 * 1024 * 1024
+def _pick_bh(h: int, w: int, c: int, itemsize: int, mode: str = "full") -> int:
+    """Row-block size: keep every live VMEM buffer under the ceiling the
+    remote Mosaic compiler tolerates (it crashes with an opaque HTTP-500
+    "tpu_compile_helper subprocess exit code 1" instead of a scoped-vmem
+    error when the kernel's working set is too big).
+
+    The budgets and the per-mode footprint formulas are calibrated against
+    on-chip anchors at the hot 192x256x256 bf16 instance (v5e, 2026-08):
+    tail bh=8 OK (est 15.5 MB) / bh=16 FAIL (30.2 MB); full bh=2 OK
+    (9.8 MB) / bh=4 FAIL (15.5 MB). full's budget is tighter than tail's
+    at near-equal byte estimates — its two chained convs + iota masks add
+    compiler pressure the byte count misses."""
+    budget = (12 if mode == "full" else 16) * 1024 * 1024
     cl = _lanes(c)
     im2col = _lanes(3 * c) if c < 128 else 0  # small-C im2col buffer lanes
-    for bh in (16, 8, 4):
+    it = itemsize
+    for bh in (16, 8, 4, 2):
         if h % bh:
             continue
+        halo = 2 if mode == "full" else 1
+        win = bh + 2 * halo
         need = (
-            2 * (bh + 4) * w * cl * itemsize  # x window, double-buffered
-            + 2 * 2 * bh * w * cl * itemsize  # p2b + out blocks, double-buffered
-            + (bh + 4) * (w + 4) * cl * itemsize  # padded/relu'd window
-            + (bh + 2) * (w + 2) * cl * (itemsize + 4)  # out_ext + f32 acc
-            + (bh + 4) * (w + 2) * im2col * itemsize  # im2col (small C)
-            + bh * w * cl * 4 * 2  # conv2 acc + LN temps
+            2 * win * w * cl * it      # x window, double-buffered
+            + 4 * bh * w * cl * it     # p2b + out blocks, double-buffered
+            + 2 * bh * w * cl * 4      # conv2 f32 acc + LN f32 temp
+            + 3 * bh * w * cl * it     # ln / proj / sig
+            + win * (w + 2) * im2col * it  # width-im2col buffer (small C)
         )
+        if mode == "full":
+            need += (
+                2 * win * (w + 4) * cl * it        # xpad + relu'd copy
+                + (bh + 2) * (w + 2) * cl * 4      # conv1 f32 acc
+                + 2 * (bh + 2) * (w + 2) * cl * it  # conv1 + out_ext
+                + 3 * (bh + 2) * (w + 2) * 128 * 4  # rg/cg/ok iota masks
+            )
+        else:
+            need += (bh + 2) * (w + 2) * cl * it  # out_ext col-pad
         if need < budget:
             return bh
     return 0
@@ -103,7 +129,8 @@ def _pick_bh(h: int, w: int, c: int, itemsize: int) -> int:
 @functools.lru_cache(maxsize=None)
 def _build(n, h, w, c, mode, gate, dtype_name, interpret):
     dtype = jnp.dtype(dtype_name)
-    bh = _pick_bh(h, w, c, dtype.itemsize)
+    bh_env = int(os.environ.get("PRV2_GCU_BH", 0))
+    bh = bh_env if bh_env and h % bh_env == 0 else _pick_bh(h, w, c, dtype.itemsize, mode)
     if bh == 0:
         raise ValueError(f"no row block fits VMEM for {(n, h, w, c)}")
     halo = 2 if mode == "full" else 1

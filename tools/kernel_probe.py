@@ -14,6 +14,7 @@ Usage:
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -217,7 +218,9 @@ def main():
     ap.add_argument("--only", default=",".join(PROBES))
     ap.add_argument("--n", type=int, default=4)
     ap.add_argument("--no-check", action="store_true")
+    ap.add_argument("--gcu-mode", default="full", choices=["full", "tail"])
     args = ap.parse_args()
+    PROBES["gcu"] = functools.partial(probe_gcu, mode=args.gcu_mode)
 
     import os
     os.environ.setdefault("PRV2_FUSED_FORCE", "1")
