@@ -24,3 +24,6 @@ model = dict(
 )
 
 collect_input_args = ["crops_image_hr", "crop_depths", "bboxs"]
+
+# reference patchfusion_zoedepth/zoedepth_fine_pretrain_u4k.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -8,3 +8,6 @@ model = dict(
         fine_branch=dict(use_pretrained_midas=False),
     ),
 )
+
+# reference patchfusion_zoedepth/zoedepth_patchfusion_womidas_u4k.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -85,3 +85,6 @@ train_dataloader = dict(
 val_dataloader = dict(
     dataset=dict(transform_cfg=dict(network_process_size=[448, 448]))
 )
+
+# reference patchrefiner_dav2/pr_u4k.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -16,3 +16,6 @@ val_dataloader = dict(
         transform_cfg=dict(degree=1.0, network_process_size=[448, 448]),
     ),
 )
+
+# reference patchrefiner_dav2/pr_u4k_gen_scannet.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

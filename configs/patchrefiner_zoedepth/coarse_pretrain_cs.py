@@ -30,3 +30,6 @@ optim_wrapper = dict(
 )
 
 param_scheduler = dict(div_factor=1, final_div_factor=10000, pct_start=0.5)
+
+# reference patchrefiner_zoedepth/coarse_pretrain_cs.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

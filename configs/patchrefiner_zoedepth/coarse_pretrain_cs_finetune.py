@@ -7,3 +7,6 @@ model = dict(
         pretrained="./work_dir/zoedepth/u4k/coarse_pretrain/checkpoint_24",
     ),
 )
+
+# reference patchrefiner_zoedepth/coarse_pretrain_cs_finetune.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

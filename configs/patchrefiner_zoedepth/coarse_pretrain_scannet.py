@@ -17,3 +17,6 @@ model = dict(
 
 train_cfg = dict(max_epochs=5, save_checkpoint_interval=5)
 param_scheduler = dict(div_factor=1, final_div_factor=10000, pct_start=0.5)
+
+# reference patchrefiner_zoedepth/coarse_pretrain_scannet.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

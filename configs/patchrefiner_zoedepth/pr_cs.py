@@ -90,3 +90,6 @@ param_scheduler = dict(
 train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[1024, 2048]))
 )
+
+# reference patchrefiner_zoedepth/pr_cs.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -12,3 +12,6 @@ model = dict(
         pretrain_fine_model=None,
     ),
 )
+
+# reference patchrefiner_zoedepth/pr_cs_zeroshot.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

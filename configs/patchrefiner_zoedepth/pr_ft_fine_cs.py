@@ -9,3 +9,6 @@ model = dict(
         pretrained="./work_dir/zoedepth/u4k/patchrefiner/checkpoint_24",
     ),
 )
+
+# reference patchrefiner_zoedepth/pr_ft_fine_cs.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

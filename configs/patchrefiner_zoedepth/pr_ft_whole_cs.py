@@ -11,3 +11,6 @@ model = dict(
         pretrained="./work_dir/zoedepth/u4k/patchrefiner/checkpoint_24",
     ),
 )
+
+# reference patchrefiner_zoedepth/pr_ft_whole_cs.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -16,3 +16,6 @@ model = dict(
 train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[352, 1216]))
 )
+
+# reference patchrefiner_zoedepth/pr_kitti.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

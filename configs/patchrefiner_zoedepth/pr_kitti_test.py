@@ -24,3 +24,6 @@ val_dataloader = dict(
         ),
     ),
 )
+
+# reference patchrefiner_zoedepth/pr_kitti_test.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -18,3 +18,6 @@ model = dict(
 train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[1440, 1920]))
 )
+
+# reference patchrefiner_zoedepth/pr_scannet.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -99,3 +99,6 @@ param_scheduler = dict(
 train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[2160, 3840]))
 )
+
+# reference patchrefiner_zoedepth/pr_u4k.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

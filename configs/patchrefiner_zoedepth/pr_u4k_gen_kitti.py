@@ -20,3 +20,6 @@ val_dataloader = dict(
         transform_cfg=dict(degree=1.0, network_process_size=[384, 512]),
     ),
 )
+
+# reference patchrefiner_zoedepth/pr_u4k_gen_kitti.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -10,3 +10,6 @@ model = dict(
         refiner=dict(fine_branch=dict(use_pretrained_midas=False)),
     ),
 )
+
+# reference patchrefiner_zoedepth/pr_u4k_womidas.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

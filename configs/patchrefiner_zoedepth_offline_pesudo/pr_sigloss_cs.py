@@ -13,3 +13,6 @@ train_dataloader = dict(
         pseudo_label_path="./work_dir/zoedepth/u4k/patchrefiner/generate_pls_cs",
     ),
 )
+
+# reference patchrefiner_zoedepth_offline_pesudo/pr_sigloss_cs.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

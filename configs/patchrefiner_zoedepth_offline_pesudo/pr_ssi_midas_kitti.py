@@ -24,3 +24,6 @@ train_dataloader = dict(
         transform_cfg=dict(image_raw_shape=[352, 1216]),
     ),
 )
+
+# reference patchrefiner_zoedepth_offline_pesudo/pr_ssi_midas_kitti.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -23,3 +23,6 @@ train_dataloader = dict(
         transform_cfg=dict(image_raw_shape=[1440, 1920]),
     ),
 )
+
+# reference patchrefiner_zoedepth_offline_pesudo/pr_ssi_midas_scannet.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -22,3 +22,6 @@ model = dict(
         grad_matching=False,
     ),
 )
+
+# reference patchrefiner_zoedepth_online_pesudo/pr_mix_cs.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -16,3 +16,6 @@ model = dict(
         point_pairs=10000,
     ),
 )
+
+# reference patchrefiner_zoedepth_online_pesudo/pr_ranking_cs.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

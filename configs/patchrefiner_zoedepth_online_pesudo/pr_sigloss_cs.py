@@ -114,3 +114,6 @@ train_cfg = dict(
 train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[1024, 2048]))
 )
+
+# reference patchrefiner_zoedepth_online_pesudo/pr_sigloss_cs.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

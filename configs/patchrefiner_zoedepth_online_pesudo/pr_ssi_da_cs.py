@@ -10,3 +10,6 @@ model = dict(
         grad_matching=False,
     ),
 )
+
+# reference patchrefiner_zoedepth_online_pesudo/pr_ssi_da_cs.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -7,3 +7,6 @@ train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[352, 1216],
                                     network_process_size=[448, 448]))
 )
+
+# reference patchrefinerv2_dav2/coarse_pretrain_kitti.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -45,3 +45,6 @@ train_dataloader = dict(
 val_dataloader = dict(
     dataset=dict(transform_cfg=dict(network_process_size=[448, 448]))
 )
+
+# reference patchrefinerv2_dav2/coarse_pretrain_u4k.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -13,3 +13,6 @@ train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[352, 1216],
                                     network_process_size=[448, 448]))
 )
+
+# reference patchrefinerv2_dav2/plus_eff_kitti_base_coarse_e2e_c2f_pretrain.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -16,3 +16,6 @@ val_dataloader = dict(
         transform_cfg=dict(degree=1.0, network_process_size=[448, 448]),
     ),
 )
+
+# reference patchrefinerv2_dav2/plus_u4k_gen_kitti.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -12,3 +12,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_dav2/pretrain_eff_m0s1.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -71,3 +71,6 @@ train_dataloader = dict(
         pseudo_label_path="./work_dir/v2_dav2/u4k/generate_pls_kitti",
     ),
 )
+
+# reference patchrefinerv2_dav2/semi_kitti.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -15,3 +15,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_zoedepth/v2_convx_u4k.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

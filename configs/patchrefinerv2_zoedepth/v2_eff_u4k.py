@@ -120,3 +120,6 @@ train_dataloader = dict(
     num_workers=4,
     dataset=dict(transform_cfg=dict(image_raw_shape=[2160, 3840])),
 )
+
+# reference patchrefinerv2_zoedepth/v2_eff_u4k.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -21,3 +21,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_zoedepth_ablation/plus_convx_u4k_base_coarse_e2e_c2f_pretrain.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -20,3 +20,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_zoedepth_ablation/plus_eff_u4k_base_coarse.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -25,3 +25,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_zoedepth_ablation/plus_eff_u4k_base_coarse_heavy.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

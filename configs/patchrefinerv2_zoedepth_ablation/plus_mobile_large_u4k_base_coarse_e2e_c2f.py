@@ -20,3 +20,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_zoedepth_ablation/plus_mobile_large_u4k_base_coarse_e2e_c2f.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

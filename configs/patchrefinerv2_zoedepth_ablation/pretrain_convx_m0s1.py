@@ -23,3 +23,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_zoedepth_ablation/pretrain_convx_m0s1.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -23,3 +23,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_zoedepth_ablation/pretrain_mobile_constant.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

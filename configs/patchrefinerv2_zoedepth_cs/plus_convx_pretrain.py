@@ -10,3 +10,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_zoedepth_cs/plus_convx_pretrain.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

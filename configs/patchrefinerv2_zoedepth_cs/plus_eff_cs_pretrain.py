@@ -28,3 +28,6 @@ train_cfg = dict(max_epochs=12, val_interval=2, save_checkpoint_interval=12)
 train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[1024, 2048]))
 )
+
+# reference patchrefinerv2_zoedepth_cs/plus_eff_cs_pretrain.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -11,3 +11,6 @@ train_dataloader = dict(
         pseudo_label_path="./work_dir/v2/u4k/generate_pls_cs",
     ),
 )
+
+# reference patchrefinerv2_zoedepth_cs/plus_eff_cs_semi_offline_ssigm_ft.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -16,3 +16,6 @@ model = dict(
         point_pairs=10000,
     ),
 )
+
+# reference patchrefinerv2_zoedepth_cs/plus_eff_cs_semi_online_ranking_ft.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -11,3 +11,6 @@ model = dict(
         grad_matching=True,
     ),
 )
+
+# reference patchrefinerv2_zoedepth_cs/plus_eff_cs_semi_online_ssigm_ft.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

@@ -24,3 +24,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_zoedepth_cs/plus_mobile_cs_semi_ssigm_ft.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

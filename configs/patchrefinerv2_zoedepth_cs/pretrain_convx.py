@@ -12,3 +12,6 @@ model = dict(
         ),
     ),
 )
+
+# reference patchrefinerv2_zoedepth_cs/pretrain_convx.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

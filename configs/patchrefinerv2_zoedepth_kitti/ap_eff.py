@@ -21,3 +21,6 @@ model = dict(
 train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[352, 1216]))
 )
+
+# reference patchrefinerv2_zoedepth_kitti/ap_eff.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

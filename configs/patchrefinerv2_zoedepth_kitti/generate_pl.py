@@ -17,3 +17,6 @@ val_dataloader = dict(
         transform_cfg=dict(degree=1.0, network_process_size=[384, 512]),
     ),
 )
+
+# reference patchrefinerv2_zoedepth_kitti/generate_pl.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

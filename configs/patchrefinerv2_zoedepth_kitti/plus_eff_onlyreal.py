@@ -19,3 +19,6 @@ train_cfg = dict(max_epochs=3, val_interval=1, save_checkpoint_interval=3)
 train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[352, 1216]))
 )
+
+# reference patchrefinerv2_zoedepth_kitti/plus_eff_onlyreal.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

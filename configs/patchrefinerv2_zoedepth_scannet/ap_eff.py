@@ -22,3 +22,6 @@ model = dict(
 train_dataloader = dict(
     dataset=dict(transform_cfg=dict(image_raw_shape=[1440, 1920]))
 )
+
+# reference patchrefinerv2_zoedepth_scannet/ap_eff.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = False

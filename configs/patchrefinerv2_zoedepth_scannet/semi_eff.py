@@ -78,3 +78,6 @@ train_dataloader = dict(
         pseudo_label_path="./work_dir/v2/u4k/generate_pls_scannet",
     ),
 )
+
+# reference patchrefinerv2_zoedepth_scannet/semi_eff.py: BN mode under DP (parallel/bn.py)
+convert_syncbn = True

@@ -53,8 +53,19 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # reference BN-under-DP semantics (parallel/bn.py): per-data-shard
+        # moments unless convert_syncbn=True resolves the group count to 1.
+        # Same variable tree either way (name pinned to BatchNorm_0).
+        from patchrefinerv2_tpu.parallel.bn import GroupedBatchNorm, bn_groups
+
+        g = bn_groups()
+        if train and g > 1:
+            return GroupedBatchNorm(
+                groups=g, momentum=0.9, epsilon=self.eps, name="BatchNorm_0"
+            )(x)
         return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=self.eps
+            use_running_average=not train, momentum=0.9, epsilon=self.eps,
+            name="BatchNorm_0",
         )(x)
 
 

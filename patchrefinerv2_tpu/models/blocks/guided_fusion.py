@@ -37,12 +37,24 @@ class DoubleConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # BN-under-DP semantics via parallel/bn.py (names pinned so both
+        # paths share the nn.BatchNorm variable tree)
+        from patchrefinerv2_tpu.parallel.bn import GroupedBatchNorm, bn_groups
+
+        g = bn_groups()
+
+        def bn(h, name):
+            if train and g > 1:
+                return GroupedBatchNorm(
+                    groups=g, momentum=0.9, epsilon=1e-5, name=name)(h)
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=name)(h)
+
         x = nn.Conv(self.out_ch, (3, 3), use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
-        x = nn.relu(x)
+        x = nn.relu(bn(x, "BatchNorm_0"))
         x = nn.Conv(self.out_ch, (3, 3), use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5)(x)
-        return nn.relu(x)
+        return nn.relu(bn(x, "BatchNorm_1"))
 
 
 class Down(nn.Module):

@@ -69,6 +69,11 @@ class Trainer:
         self.work_dir = work_dir
         os.makedirs(work_dir, exist_ok=True)
         self.mesh = mesh if mesh is not None else data_mesh()
+        # reference BN semantics: per-GPU stats by default, global only
+        # when the config sets convert_syncbn=True (parallel/bn.py)
+        from patchrefinerv2_tpu.parallel.bn import groups_for, set_bn_groups
+
+        set_bn_groups(groups_for(config, self.mesh))
 
         tc = config.get("train_cfg", {})
         self.max_epochs = int(tc.get("max_epochs", 24))
