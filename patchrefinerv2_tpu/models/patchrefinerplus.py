@@ -559,15 +559,14 @@ class PatchRefinerPlus:
             # merge the three shifted passes into one stream and re-chunk it
             # as process_num chunks + a granule-rounded remainder (16+16+8
             # instead of 3x16 at 4x4/16) — blending is commutative
-            # scatter-add, so pass order doesn't matter. Under a mesh every
-            # chunk must stay divisible by the device count (each device
-            # refines chunk/n patches); fall back to per-pass padding when
-            # the remainder chunk doesn't split evenly.
-            merged = [passes[0]] + merge_passes([p for p, _ in passes[1:]], process_num)
-            if mesh is None or all(
-                chunk % _mesh_data_size(mesh) == 0 for _, chunk in merged
-            ):
-                passes = merged
+            # scatter-add, so pass order doesn't matter. Under a mesh the
+            # remainder chunk rounds up to a multiple of the 'data' axis
+            # (pad patches are masked by the ``valid`` vector), so the
+            # merged stream is active on every mesh instead of reverting to
+            # per-pass padding.
+            gran = None if mesh is None else _mesh_data_size(mesh)
+            passes = [passes[0]] + merge_passes(
+                [p for p, _ in passes[1:]], process_num, granule=gran)
         n_random_iters = (
             int(cai_mode[1:]) // process_num if cai_mode.startswith("r") else 0
         )

@@ -16,6 +16,7 @@ a single jitted inference program with static shapes.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import jax
@@ -126,7 +127,7 @@ def _slice_pass(p: RegularPass, lo: int, hi: int, pad_to: int) -> RegularPass:
 
 
 def merge_passes(
-    passes: list[RegularPass], process_num: int
+    passes: list[RegularPass], process_num: int, granule: int | None = None
 ) -> list[tuple[RegularPass, int]]:
     """Concatenate the VALID patches of several passes into one stream and
     re-chunk it as full process_num chunks plus one remainder chunk rounded
@@ -137,6 +138,11 @@ def merge_passes(
     reduces the reference's sequential RunningAverageMap to sum(w*p)/sum(w));
     the reference's per-pass padding to process_num re-runs duplicate
     patches instead (~23% of r32's shifted-pass compute at 4x4/16).
+
+    ``granule``: optional extra chunk divisor — under a mesh the tail chunk
+    must also split across the 'data' axis, so callers pass the mesh data
+    size and the tail rounds up to lcm(_BATCH_GRANULE, granule) (the pad
+    patches are masked by the ``valid`` vector, same as granule padding).
 
     Returns [(pass, chunk_size), ...] segments for the infer loop.
     """
@@ -153,7 +159,10 @@ def merge_passes(
     if n_full:
         segments.append((_slice_pass(stream, 0, n_full, n_full), process_num))
     if rem:
-        tail_chunk = min(process_num, -(-rem // _BATCH_GRANULE) * _BATCH_GRANULE)
+        g = _BATCH_GRANULE
+        if granule and granule > 1:
+            g = g * granule // math.gcd(g, granule)
+        tail_chunk = min(process_num, -(-rem // g) * g)
         pad_to = -(-rem // tail_chunk) * tail_chunk
         segments.append((_slice_pass(stream, n_full, n, pad_to), tail_chunk))
     return segments

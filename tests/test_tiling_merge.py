@@ -117,3 +117,29 @@ def test_merged_stream_blend_matches_per_pass_padding():
             )
 
     np.testing.assert_allclose(run(padded), run(merged_chunks), rtol=1e-6, atol=1e-6)
+
+
+def test_merge_passes_mesh_granule():
+    """granule=G (mesh 'data' size): every chunk divides by G so the merged
+    stream stays active under the mesh instead of reverting to per-pass
+    padding (VERDICT r2 #8)."""
+    tc = _tile_cfg()
+    passes = [regular_pass(tc, off, 16) for off in SHIFT_OFFSETS]
+    segments = merge_passes(passes, 16, granule=8)
+    # 33 valid -> 2x16 head + one lcm(8,8)=8-granule tail
+    assert [(p.starts_raw.shape[0], c) for p, c in segments] == [(32, 16), (8, 8)]
+    for p, c in segments:
+        assert c % 8 == 0 and p.starts_raw.shape[0] % c == 0
+    assert sum(p.n_valid for p, _ in segments) == 33
+    # a granule that does NOT divide the remainder: tail rounds UP, never
+    # reverts — e.g. data axis 16 -> the 1-patch remainder pads to 16
+    segments = merge_passes(passes, 16, granule=16)
+    assert [(p.starts_raw.shape[0], c) for p, c in segments] == [(32, 16), (16, 16)]
+    # valid patches preserved exactly
+    seen = []
+    for p, _ in segments:
+        seen += [tuple(s) for s in p.starts_raw[: p.n_valid].tolist()]
+    expect = []
+    for p in passes:
+        expect += [tuple(s) for s in p.starts_raw[: p.n_valid].tolist()]
+    assert sorted(seen) == sorted(expect)

@@ -194,3 +194,22 @@ def test_tp_beit_trunk_matches_unsharded():
     assert n_tp == 4 * 4  # 4 blocks x (qkv, proj, fc1, fc2)
     out = np.asarray(fn(v_tp, jax.device_put(x, None)))
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_m2_merged_stream_mesh_matches_single_device(model_and_vars):
+    """m2's ragged shifted passes under the data mesh: the merged chunk
+    stream now pads its remainder to the mesh 'data' axis (tiling.py
+    merge_passes granule) instead of reverting to per-pass padding —
+    equality vs the single-device program pins the masking (VERDICT r2 #8)."""
+    from patchrefinerv2_tpu.parallel.mesh import data_mesh
+
+    model, variables = model_and_vars
+    rng = np.random.RandomState(5)
+    image_lr = jnp.asarray(rng.rand(1, 84, 112, 3), jnp.float32)
+    image_hr = jnp.asarray(rng.rand(1, 168, 224, 3), jnp.float32)
+    d1, _ = model.infer(variables, image_lr, image_hr, cai_mode="m2",
+                        process_num=8)
+    d2, _ = model.infer(variables, image_lr, image_hr, cai_mode="m2",
+                        process_num=8, mesh=data_mesh())
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                               atol=1e-5, rtol=1e-5)
