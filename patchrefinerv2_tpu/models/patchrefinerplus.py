@@ -75,10 +75,26 @@ class ZoeDepthBEiT(nn.Module):
     attractor_type: str = "exp"
     min_temp: float = 0.0212
     max_temp: float = 50.0
+    # trunk size passthrough (defaults = BEiT-L/16; smaller for the
+    # flagship-tree mesh tests, same param paths)
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    taps: Sequence[int] = (5, 11, 17, 23)
+    features: int = 256
+    out_channels: Sequence[int] = (256, 512, 1024, 1024)
 
     @nn.compact
     def __call__(self, x):
-        rel, pyramid = MidasDPTBEiT(name="core")(x)
+        rel, pyramid = MidasDPTBEiT(
+            name="core",
+            embed_dim=self.embed_dim,
+            depth=self.depth,
+            num_heads=self.num_heads,
+            taps=tuple(self.taps),
+            features=self.features,
+            out_channels=tuple(self.out_channels),
+        )(x)
         return ZoeDepthHead(
             n_bins=self.n_bins,
             bin_centers_type=self.bin_centers_type,
@@ -105,8 +121,16 @@ def build_coarse_branch(cfg: ConfigDict, min_depth: float, max_depth: float):
     """
     ctype = cfg["type"]
     if ctype == "ZoeDepth":
+        trunk = cfg.get("trunk", {})  # test-size overrides; default BEiT-L/16
         return (
             ZoeDepthBEiT(
+                embed_dim=trunk.get("embed_dim", 1024),
+                depth=trunk.get("depth", 24),
+                num_heads=trunk.get("num_heads", 16),
+                taps=tuple(trunk.get("taps", (5, 11, 17, 23))),
+                features=trunk.get("features", 256),
+                out_channels=tuple(
+                    trunk.get("out_channels", (256, 512, 1024, 1024))),
                 n_bins=cfg.get("n_bins", 64),
                 bin_centers_type=cfg.get("bin_centers_type", "softplus"),
                 bin_embedding_dim=cfg.get("bin_embedding_dim", 128),
