@@ -147,8 +147,14 @@ class BeitAttention(nn.Module):
         if use_flash:
             from patchrefinerv2_tpu.ops.attention import flash_mha
 
+            # block sizes from the on-chip sweep at the real BEiT-L
+            # geometry (S=769, D=64, H=16 — tools/flash_sweep.py):
+            # bq=512/bkv=128 is 1.86 ms vs 2.73 ms XLA exact+bias
+            bq, _, bkv = os.environ.get(
+                "PRV2_FLASH_BLOCKS", "512x128").partition("x")
             o = flash_mha(
                 q, k, v, scale, bias=rel_bias,
+                block_q=int(bq), block_kv=int(bkv),
                 interpret=jax.default_backend() not in ("tpu", "axon"),
             ).astype(x.dtype)
         else:

@@ -156,6 +156,16 @@ def _im2col_w(pieces, cols_out):
 def _build(n, h, w, c0c, f0c, tc, midc, outc, relu_clamp, dtype_name, interpret):
     dtype = jnp.dtype(dtype_name)
     blocks = _pick_blocks(h, w, c0c, f0c, tc, midc, outc, dtype.itemsize)
+    _e = os.environ.get("PRV2_F2R_BLOCKS", "")
+    if _e:
+        bh, bw = (int(t) for t in _e.split("x"))
+        if h % bh == 0 and w % bw == 0:
+            blocks = (bh, bw)
+    if blocks is None and interpret:
+        # interpret mode has no VMEM ceiling (and no mosaic 8-alignment):
+        # any shape-divisible block exercises the same numerics
+        blocks = next(((bh, bw) for bw in (256, 128) for bh in (8, 4)
+                       if w % bw == 0 and h % bh == 0), None)
     if blocks is None:
         raise ValueError(f"no block size fits VMEM for {(n, h, w)}")
     bh, bw = blocks
@@ -445,6 +455,11 @@ def fused_c2f_head_supported(shape, cm: int, ct: int, cc: int,
 def _build_head(n, h, w, cp, cm, ct, cc, gate, dtype_name, interpret):
     dtype = jnp.dtype(dtype_name)
     blocks = _head_pick_blocks(h, w, cp, cm, ct, cc, dtype.itemsize)
+    _e = os.environ.get("PRV2_C2F_BLOCKS", "")
+    if _e:
+        bh, bw = (int(t) for t in _e.split("x"))
+        if h % bh == 0 and w % bw == 0:
+            blocks = (bh, bw)
     if blocks is None:
         raise ValueError(f"no block size fits VMEM for {(n, h, w)}")
     bh, bw = blocks
@@ -705,6 +720,11 @@ def fused_pair_supported(shape, cf: int, tc: int, dtype=jnp.bfloat16) -> bool:
 def _build_pair(n, h, w, cc, cf, tc, dtype_name, interpret):
     dtype = jnp.dtype(dtype_name)
     blocks = _pair_pick_blocks(h, w, cc, cf, tc, dtype.itemsize)
+    _e = os.environ.get("PRV2_PAIR_BLOCKS", "")
+    if _e:
+        bh, bw = (int(t) for t in _e.split("x"))
+        if h % bh == 0 and w % bw == 0:
+            blocks = (bh, bw)
     if blocks is None:
         raise ValueError(f"no block size fits VMEM for {(n, h, w)}")
     bh, bw = blocks
@@ -899,6 +919,11 @@ def fused_dc_supported(shape, ct: int, outc: int, dtype=jnp.bfloat16) -> bool:
 def _build_dc(n, h, w, cx, ct, midc, outc, dtype_name, interpret):
     dtype = jnp.dtype(dtype_name)
     blocks = _dc_pick_blocks(h, w, cx, ct, midc, outc, dtype.itemsize)
+    _e = os.environ.get("PRV2_DC_BLOCKS", "")
+    if _e:
+        bh, bw = (int(t) for t in _e.split("x"))
+        if h % bh == 0 and w % bw == 0:
+            blocks = (bh, bw)
     if blocks is None:
         raise ValueError(f"no block size fits VMEM for {(n, h, w)}")
     bh, bw = blocks
