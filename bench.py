@@ -109,102 +109,24 @@ def _wait_for_backend(attempts=None, probe_timeout=900):
     raise RuntimeError(f"TPU backend unavailable: {err}")
 
 
-_FUSED_FLAGS = {
-    "PRV2_FUSED_GCU": "full",
-    "PRV2_FUSED_F2R": "1",
-    "PRV2_FUSED_C2F_HEAD": "1",
-    "PRV2_FUSED_PAIR": "1",
-    "PRV2_FUSED_DC": "1",
-    "PRV2_FLASH_BEIT": "1",
-}
-
-
-def _measured_winner_flags(cai_mode):
-    """Best measured flag combination from a prior tools/bench_matrix.py
-    run (bench_matrix_<mode>.json at the repo root), or None when no
-    usable record exists. Returns {} when the matrix says baseline wins —
-    the caller can then skip the fused probe entirely."""
-    root = os.path.dirname(os.path.abspath(__file__))
-    for mode in (cai_mode, "m1"):
-        path = os.path.join(root, f"bench_matrix_{mode}.json")
-        try:
-            with open(path) as f:
-                results = json.load(f)
-        except (OSError, ValueError):
-            continue
-        valid = [r for r in results if r.get("fps")]
-        if not valid:
-            continue
-        best = max(valid, key=lambda r: r["fps"])
-        base = next((r["fps"] for r in valid if r["variant"] == "baseline"), None)
-        # require a >0.5% margin over baseline before trusting a combo
-        if base is not None and best["fps"] <= base * 1.005:
-            return {}
-        return dict(best.get("flags") or {})
-    return None
-
-
-def _maybe_enable_fused(cai_mode="m1"):
-    """BENCH_FUSED=auto (default): use the best measured flag combination
-    from a prior bench-matrix record when one exists, else probe the
-    all-on fused config in a BOUNDED subprocess (one m1 frame) and enable
-    the flags only if it compiles and runs — mosaic compile failures or
-    ceilings then cost the probe its timeout instead of the whole
-    measurement, and the probe warms the persistent compilation cache for
-    this process. ``1`` forces the flags on, ``0`` leaves everything
-    unfused. ``flags:K=V,K=V`` (tools/bench_matrix.py) replaces the flag
-    set with exactly the listed subset and measures only that variant."""
-    choice = os.environ.get("BENCH_FUSED", "auto")
-    if choice == "0":
-        return False
-    if choice.startswith("flags:"):
-        _FUSED_FLAGS.clear()
-        for pair in filter(None, choice[len("flags:"):].split(",")):
-            k, _, v = pair.partition("=")
-            _FUSED_FLAGS[k.strip()] = v.strip() or "1"
-        os.environ["BENCH_FUSED"] = "1"  # measure only the fused variant
-        os.environ.update(_FUSED_FLAGS)
-        return True
-    if choice != "auto":
-        os.environ.update(_FUSED_FLAGS)
-        return True
-    measured = _measured_winner_flags(cai_mode)
-    if measured is not None:
-        if not measured:
-            print("bench-matrix record: baseline wins; measuring unfused",
-                  file=sys.stderr)
-            return False
-        _FUSED_FLAGS.clear()
-        _FUSED_FLAGS.update(measured)
-        print(f"bench-matrix record: using measured winner flags {measured}",
-              file=sys.stderr)
-        # still bound-probe: the record may predate a code change
-    import subprocess
-
-    # pass the exact flag set: the child re-imports this module, so its
-    # default _FUSED_FLAGS would otherwise shadow a measured-winner subset
-    spec = ",".join(f"{k}={v}" for k, v in _FUSED_FLAGS.items())
-    env = dict(os.environ, BENCH_CAI_MODE="m1", BENCH_ITERS="1",
-               BENCH_WARMUP="0", BENCH_FUSED="flags:" + spec)
-    try:
-        probe = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            capture_output=True, timeout=1500, text=True, env=env,
-        )
-        ok = probe.returncode == 0 and '"metric"' in probe.stdout
-    except subprocess.TimeoutExpired:
-        ok = False
-    print("fused-kernel probe " + ("ok" if ok else "failed; measuring unfused"),
-          file=sys.stderr)
-    return ok
-
-
-def _set_fused(on: bool):
-    for k, v in _FUSED_FLAGS.items():
-        if on:
-            os.environ[k] = v
-        else:
-            os.environ.pop(k, None)
+def _apply_flag_env():
+    """BENCH_FLAGS="K=V,K=V": export experiment env flags (read by the
+    library at trace time) before the model is built — the A/B hook
+    tools/bench_matrix.py drives. Round-3 note: the PRV2_FUSED_*/
+    PRV2_FLASH_* Pallas-kernel flag family this hook was built for is
+    retired (every kernel measured at-or-below the XLA baseline on the
+    real chip — docs/performance.md "Retired kernels"); the surviving
+    flag is the non-parity serving mode PRV2_INT8 (prefer BENCH_INT8=1,
+    which also labels the metric)."""
+    spec = os.environ.get("BENCH_FLAGS", "")
+    flags = {}
+    for pair in filter(None, spec.split(",")):
+        k, _, v = pair.partition("=")
+        flags[k.strip()] = v.strip() or "1"
+    os.environ.update(flags)
+    if flags:
+        print(f"experiment flags: {flags}", file=sys.stderr)
+    return flags
 
 
 def main():
@@ -212,25 +134,21 @@ def main():
     process_num = int(os.environ.get("BENCH_PROCESS_NUM", "16"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
-    # BENCH_INT8=1: measure the dynamic-int8 serving mode (ops/quant.py).
-    # NOT parity-preserving, so the metric is labeled "+int8" — never the
-    # default record.
-    int8 = os.environ.get("BENCH_INT8", "") not in ("", "0")
+    _apply_flag_env()
+    # BENCH_INT8=1|static: measure the int8 serving mode (ops/quant.py) —
+    # "static" calibrates per-site activation scales on the bench input
+    # first (PTQ; skips the dynamic abs-max reduction, measured -13%
+    # round 3). NOT parity-preserving, so the metric is labeled
+    # "+int8[...]" — never the default record.
+    int8_mode = os.environ.get("BENCH_INT8", "")
+    int8 = int8_mode not in ("", "0")
     if int8:
         os.environ["PRV2_INT8"] = "1"
-        # the fused bf16 GCU kernel dispatches BEFORE the int8 quant path,
-        # so an auto-probed fused variant would report a mostly-bf16 number
-        # under the '+int8' label; measure the int8 graph unfused unless the
-        # caller explicitly forces a flag combination
-        if os.environ.get("BENCH_FUSED", "auto") == "auto":
-            os.environ["BENCH_FUSED"] = "0"
     else:
         os.environ.pop("PRV2_INT8", None)
-    # order matters on the exclusive tunneled chip: bounded backend probe
-    # (claims + releases in a subprocess), then the fused-kernel probe
-    # (another claim/release cycle), and only then the in-process claim
+    # bounded backend probe first (claims + releases the exclusive
+    # tunneled chip in a subprocess), then the in-process claim
     _wait_for_backend()
-    fused_ok = _maybe_enable_fused(cai_mode)
     jax.devices()
 
     model = MODELS.build(dict(type="PatchRefinerPlus", config=flagship_config()))
@@ -261,6 +179,19 @@ def main():
     image_hr = jnp.asarray(rng.rand(1, 2160, 3840, 3), jnp.float32)
     seed = jax.random.PRNGKey(0)
 
+    if int8 and int8_mode == "static":
+        # PTQ calibration on the bench input (throughput is
+        # scale-value-independent; real deployments calibrate on real
+        # frames via tools/calibrate_int8.py)
+        print("calibrating static int8 scales...", file=sys.stderr)
+        t0 = time.perf_counter()
+        variables = model.calibrate_int8(
+            variables, [(image_lr, image_hr)], process_num=process_num
+        )
+        n_sites = len(jax.tree_util.tree_leaves(variables["quant_scales"]))
+        print(f"calibrated {n_sites} conv sites in "
+              f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
+
     def once():
         d, _ = model.infer(
             variables, image_lr, image_hr,
@@ -278,7 +209,7 @@ def main():
     # ops was tried and rejected: each extra micro-op costs a dispatch
     # round trip (m1 3.6 -> 2.6 fps).
     def measure():
-        type(model)._jitted_infer.cache_clear()  # fused flags bind at trace
+        type(model)._jitted_infer.cache_clear()  # env flags bind at trace
         for _ in range(warmup):
             jax.block_until_ready(once())
         t0 = time.perf_counter()
@@ -286,19 +217,8 @@ def main():
         jax.block_until_ready(outs)
         return iters / (time.perf_counter() - t0)
 
-    # measure the fused config when its probe passed, then unfused, and
-    # report the best — an unexpectedly slow kernel can't regress the record
-    results = {}
-    variants = (["fused"] if fused_ok else []) + (
-        ["unfused"] if os.environ.get("BENCH_FUSED") != "1" else []
-    )
-    for variant in variants or ["unfused"]:
-        _set_fused(variant == "fused")
-        results[variant] = measure()
-        print(f"{variant}: {results[variant]:.4f} fps", file=sys.stderr)
-    best = max(results, key=results.get)
-    _set_fused(best == "fused")
-    fps = results[best]
+    fps = measure()
+    print(f"measured: {fps:.4f} fps", file=sys.stderr)
 
     if os.environ.get("BENCH_BREAKDOWN"):
         # per-pass breakdown (stderr, JSON stdout stays single-line): time
@@ -323,7 +243,8 @@ def main():
         json.dumps(
             {
                 "metric": f"4K frames/sec/chip, 4x4 split, {cai_mode}"
-                + ("+int8" if int8 else ""),
+                + (f"+int8[{'static' if int8_mode == 'static' else 'dynamic'}]"
+                   if int8 else ""),
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 5.0, 4),

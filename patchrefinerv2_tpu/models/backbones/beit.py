@@ -22,7 +22,6 @@ TPU-first: the relative position bias is materialized once per block as an
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -133,44 +132,23 @@ class BeitAttention(nn.Module):
             relative_position_bias(table, gh, gw) if self.use_rel_bias else None
         )  # (H, S, S)
 
-        # Pallas flash path (opt-in PRV2_FLASH_BEIT=1): online softmax with
-        # the rel-pos bias added per block — no (S, S) probability matrix in
-        # HBM. Inference-only (the bias path has no VJP) hence the 2-byte
-        # dtype gate, like the fused conv kernels.
-        import os
-
-        use_flash = (
-            os.environ.get("PRV2_FLASH_BEIT", "") not in ("", "0", "false")
-            and not self.is_initializing()
-            and (x.dtype == jnp.bfloat16 or os.environ.get("PRV2_FUSED_FORCE"))
+        # Exact attention on XLA: matmuls stay in the input dtype (bf16 on
+        # TPU MXU) with f32 accumulation; softmax in f32. A Pallas flash
+        # kernel with the bias folded per-block was built and swept on-chip
+        # (round 3) and measured BELOW this path end-to-end at the BEiT-L
+        # geometry (S=769: both S^2 matrices fit VMEM, so online softmax
+        # only adds overhead) — see docs/performance.md "Retired kernels".
+        att = jnp.einsum(
+            "bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k,
+            preferred_element_type=jnp.float32,
         )
-        if use_flash:
-            from patchrefinerv2_tpu.ops.attention import flash_mha
-
-            # block sizes from the on-chip sweep at the real BEiT-L
-            # geometry (S=769, D=64, H=16 — tools/flash_sweep.py):
-            # bq=512/bkv=128 is 1.86 ms vs 2.73 ms XLA exact+bias
-            bq, _, bkv = os.environ.get(
-                "PRV2_FLASH_BLOCKS", "512x128").partition("x")
-            o = flash_mha(
-                q, k, v, scale, bias=rel_bias,
-                block_q=int(bq), block_kv=int(bkv),
-                interpret=jax.default_backend() not in ("tpu", "axon"),
-            ).astype(x.dtype)
-        else:
-            # matmuls stay in the input dtype (bf16 on TPU) with f32
-            # accumulation; softmax in f32
-            att = jnp.einsum(
-                "bhqd,bhkd->bhqk", q * jnp.asarray(scale, q.dtype), k,
-                preferred_element_type=jnp.float32,
-            )
-            if rel_bias is not None:
-                att = att + rel_bias[None].astype(att.dtype)
-            att = nn.softmax(att.astype(jnp.float32), axis=-1)
-            o = jnp.einsum(
-                "bhqk,bhkd->bhqd", att.astype(v.dtype), v,
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)
+        if rel_bias is not None:
+            att = att + rel_bias[None].astype(att.dtype)
+        att = nn.softmax(att.astype(jnp.float32), axis=-1)
+        o = jnp.einsum(
+            "bhqk,bhkd->bhqd", att.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
         o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
         return nn.Dense(self.dim, name="proj")(o)
 

@@ -94,7 +94,6 @@ class DepthAnythingV2(nn.Module):
     encoder: str = "vits"
     features: int = 256
     max_depth: float = 20.0
-    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -102,7 +101,7 @@ class DepthAnythingV2(nn.Module):
         std = jnp.asarray(IMAGENET_STD, x.dtype)
         x = (x - mean) / std
         ph, pw = x.shape[1] // 14, x.shape[2] // 14
-        taps = DinoViT(variant=self.encoder, use_flash=self.use_flash, name="pretrained")(x)
+        taps = DinoViT(variant=self.encoder, name="pretrained")(x)
         out_channels = DA2_OUT_CHANNELS[self.encoder]
         depth01, feats = DPTHead(
             in_grid=(ph, pw),

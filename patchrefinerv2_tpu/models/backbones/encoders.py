@@ -106,17 +106,14 @@ class MBConv(nn.Module):
             return {"silu": _silu, "relu": nn.relu, "hardswish": _hardswish}[self.act](v)
 
         from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams, _conv_same
-        from patchrefinerv2_tpu.ops.quant import int8_enabled, quant_conv_same
+        from patchrefinerv2_tpu.ops.quant import conv_dispatch
 
         # the 1x1 pointwise convs carry most of the encoder's FLOPs; give
         # them explicit params (same tree as nn.Conv) so the opt-in
-        # dynamic-int8 serving path (ops/quant.py, PRV2_INT8) covers the
-        # refiner encoder too, not just the C2F decoder
-        pconv = (
-            quant_conv_same
-            if int8_enabled(x.dtype) and not self.is_initializing()
-            else _conv_same
-        )
+        # int8 serving path (ops/quant.py, PRV2_INT8, calibrated or
+        # dynamic scales) covers the refiner encoder too, not just the
+        # C2F decoder
+        pconv = conv_dispatch(self, x.dtype, _conv_same)
         in_ch = x.shape[-1]
         mid = self.expand_ch or in_ch * self.expand
         h = x

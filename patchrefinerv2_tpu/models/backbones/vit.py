@@ -46,7 +46,6 @@ INTERMEDIATE_LAYER_IDX = {
 class Attention(nn.Module):
     dim: int
     num_heads: int
-    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -55,7 +54,7 @@ class Attention(nn.Module):
         qkv = nn.Dense(self.dim * 3, use_bias=True, name="qkv")(x)
         qkv = qkv.reshape(b, s, 3, self.num_heads, head_dim)
         q, k, v = [jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)]
-        o = mha(q, k, v, use_flash=self.use_flash)
+        o = mha(q, k, v)
         o = jnp.transpose(o, (0, 2, 1, 3)).reshape(b, s, d)
         return nn.Dense(self.dim, use_bias=True, name="proj")(o)
 
@@ -88,12 +87,11 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     layerscale_init: float | None = 1.0
-    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
-        h = Attention(self.dim, self.num_heads, self.use_flash, name="attn")(h)
+        h = Attention(self.dim, self.num_heads, name="attn")(h)
         if self.layerscale_init is not None:
             h = LayerScale(self.dim, self.layerscale_init, name="ls1")(h)
         x = x + h
@@ -112,7 +110,6 @@ class DinoViT(nn.Module):
     pos_grid: int = 37  # img_size 518 / patch 14
     interpolate_offset: float = 0.1
     layerscale_init: float | None = 1.0
-    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, taps: Sequence[int] | None = None):
@@ -158,7 +155,6 @@ class DinoViT(nn.Module):
                 dim,
                 heads,
                 layerscale_init=self.layerscale_init,
-                use_flash=self.use_flash,
                 name=f"block{i}",
             )(tok)
             if i in taps:

@@ -268,7 +268,6 @@ class DepthAnythingCore(nn.Module):
     encoder: str = "vits"
     features: int = 64
     out_channels: Sequence[int] = (48, 96, 192, 384)
-    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -276,7 +275,7 @@ class DepthAnythingCore(nn.Module):
         std = jnp.asarray(IMAGENET_STD, x.dtype)
         x = (x - mean) / std
         ph, pw = x.shape[1] // 14, x.shape[2] // 14
-        taps = DinoViT(variant=self.encoder, use_flash=self.use_flash, name="pretrained")(x)
+        taps = DinoViT(variant=self.encoder, name="pretrained")(x)
         rel, pyramid = DPTRelHead(
             in_grid=(ph, pw),
             features=self.features,
@@ -410,7 +409,6 @@ class ZoeDepthDA(nn.Module):
     attractor_type: str = "exp"
     min_temp: float = 5.0
     max_temp: float = 50.0
-    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -418,7 +416,6 @@ class ZoeDepthDA(nn.Module):
             encoder=self.encoder,
             features=self.core_features,
             out_channels=tuple(self.core_out_channels),
-            use_flash=self.use_flash,
             name="core",
         )(x)
         return ZoeDepthHead(

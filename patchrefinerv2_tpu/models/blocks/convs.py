@@ -78,19 +78,15 @@ class SingleConvCNNLN(nn.Module):
     @nn.compact
     def __call__(self, x):
         from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams, _conv_same
-        from patchrefinerv2_tpu.ops.quant import int8_enabled, quant_conv_same
+        from patchrefinerv2_tpu.ops.quant import conv_dispatch
 
         k = self.kernel_size
         # explicit Conv_0 kernel (same tree as nn.Conv) so the fusion-pair
-        # convs — the 512-channel concat sites — can take the dynamic-int8
-        # path (ops/quant.py, opt-in PRV2_INT8)
+        # convs — the 512-channel concat sites — can take the int8 path
+        # (ops/quant.py, opt-in PRV2_INT8, calibrated or dynamic scales)
         kern, _ = _ConvParams((k, k, x.shape[-1], self.features),
                               use_bias=False, name="Conv_0")()
-        conv = (
-            quant_conv_same
-            if int8_enabled(x.dtype) and not self.is_initializing()
-            else _conv_same
-        )
+        conv = conv_dispatch(self, x.dtype, _conv_same)
         x = conv(x, kern, None)
         x = DotLayerNorm(epsilon=1e-6, name="LayerNorm_0")(x)
         return gelu(x)
@@ -110,18 +106,14 @@ class DoubleConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams, _conv_same
-        from patchrefinerv2_tpu.ops.quant import int8_enabled, quant_conv_same
+        from patchrefinerv2_tpu.ops.quant import conv_dispatch
 
         mid = self.mid_features or self.features
         k0, _ = _ConvParams((3, 3, x.shape[-1], mid), use_bias=False,
                             name="Conv_0")()
         k1, _ = _ConvParams((3, 3, mid, self.features), use_bias=False,
                             name="Conv_1")()
-        conv = (
-            quant_conv_same
-            if int8_enabled(x.dtype) and not self.is_initializing()
-            else _conv_same
-        )
+        conv = conv_dispatch(self, x.dtype, _conv_same)
         return gelu(conv(gelu(conv(x, k0, None)), k1, None))
 
 

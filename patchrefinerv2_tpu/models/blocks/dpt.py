@@ -35,7 +35,7 @@ def upsample_bilinear_ac(x, size=None, scale=2):
 class _ConvParams(nn.Module):
     """Parameter-only stand-in for ``nn.Conv``: same names (kernel/bias),
     shapes, and initializers, so checkpoints/converters see an identical
-    tree while the caller owns the computation (fused-kernel dispatch)."""
+    tree while the caller owns the computation (dynamic-int8 dispatch)."""
 
     kshape: tuple  # (kh, kw, cin, cout)
     use_bias: bool = True
@@ -63,36 +63,6 @@ class _LayerNormParams(nn.Module):
         s = self.param("scale", nn.initializers.ones, (self.features,))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return s, b
-
-
-class _GatedFusionBlockParams(nn.Module):
-    """Parameter-only mirror of a no-skip GatedFusionBlock: its single
-    GatedConvUnit (Conv_0/Conv_1/LayerNorm_0/Conv_2) plus the 1x1 out conv
-    (Conv_0 at block scope) — same tree as the module composition."""
-
-    features: int
-    coarse_ch: int
-
-    @nn.compact
-    def __call__(self):
-        c = self.features
-
-        class _GCU(nn.Module):
-            coarse_ch: int
-
-            @nn.compact
-            def __call__(s):
-                k1, b1 = _ConvParams((3, 3, c, c), name="Conv_0")()
-                k2, b2 = _ConvParams((3, 3, c + s.coarse_ch, c), name="Conv_1")()
-                ln = _LayerNormParams(c, name="LayerNorm_0")()
-                k3, _ = _ConvParams((1, 1, c, c), use_bias=False, name="Conv_2")()
-                return dict(k1=k1, b1=b1, k2=k2, b2=b2, ln=ln, k3=k3)
-
-        p = _GCU(self.coarse_ch, name="GatedConvUnit_0")()
-        kGF, bGF = _ConvParams((1, 1, c, c), name="Conv_0")()
-        p["kGF"] = kGF
-        p["bGF"] = bGF
-        return p
 
 
 def _conv_same(x, kernel, bias):
@@ -132,9 +102,8 @@ class GatedConvUnit(nn.Module):
 
     Params are declared explicitly (same tree as the previous nn.Conv/
     nn.LayerNorm composition: Conv_0, Conv_1, LayerNorm_0, Conv_2) so the
-    hot instances can dispatch to the fused Pallas kernel
-    (ops/fused_gcu.py, opt-in via PRV2_FUSED_GCU) without forking the
-    checkpoint layout.
+    hot instances can dispatch through the dynamic-int8 conv path without
+    forking the checkpoint layout.
     """
 
     features: int
@@ -156,37 +125,12 @@ class GatedConvUnit(nn.Module):
             (1, 1, self.features, self.features), use_bias=False, name="Conv_2"
         )()
 
-        from patchrefinerv2_tpu.ops.fused_gcu import (
-            fused_gcu_mode,
-            gated_conv_unit_fused,
-        )
+        # opt-in int8 path for the FLOP-sink convs (ops/quant.py,
+        # PRV2_INT8=1, calibrated or dynamic scales; ~1e-2 rel error —
+        # excluded from the parity bar and the default bench)
+        from patchrefinerv2_tpu.ops.quant import conv_dispatch
 
-        mode = (
-            fused_gcu_mode(x.shape, self.features, x.dtype)
-            if x.shape[-1] == self.features and not self.is_initializing()
-            else ""
-        )
-        if mode:
-            k2a, k2b = k2[:, :, : self.features, :], k2[:, :, self.features :, :]
-            p2b = _conv_same(c_feat, k2b, None)
-            src = x
-            if mode == "tail":
-                src = _conv_same(relu(x), k1, b1) + x
-            return gated_conv_unit_fused(
-                src, p2b, k1, b1, k2a, b2, ln_s, ln_b, k3,
-                gate=self.gate, mode=mode,
-            )
-
-        # opt-in dynamic-int8 path for the FLOP-sink convs (ops/quant.py,
-        # PRV2_INT8=1; ~1e-2 rel error — excluded from the parity bar and
-        # the default bench)
-        from patchrefinerv2_tpu.ops.quant import int8_enabled, quant_conv_same
-
-        conv = (
-            quant_conv_same
-            if int8_enabled(x.dtype) and not self.is_initializing()
-            else _conv_same
-        )
+        conv = conv_dispatch(self, x.dtype, _conv_same)
         out = conv(relu(x), k1, b1) + x
         fused = conv(jnp.concatenate([out, c_feat], axis=-1), k2, b2)
         fused = _layer_norm(fused, ln_s, ln_b)
@@ -317,43 +261,6 @@ class C2FModule(nn.Module):
         p1 = GatedFusionBlock(self.features, g, f, name="refinenet1")(
             p2, l1rn, coarse_feat=coarse_features[1]
         )
-
-        # fused out-head (ops/fused_f2r.py fused_c2f_head, opt-in via
-        # PRV2_FUSED_C2F_HEAD): output_conv1/2 + the full-res 32-ch
-        # GatedFusionBlock + output_conv3 in one Pallas pass. Only for the
-        # gated/fusion variants whose chain the kernel implements.
-        from patchrefinerv2_tpu.ops.fused_f2r import (
-            fused_c2f_head,
-            fused_c2f_head_supported,
-        )
-
-        c0 = coarse_features[0]
-        fuse_head = (
-            f
-            and not self.is_initializing()
-            and c0.shape[1:3] == p1.shape[1:3]
-            and fused_c2f_head_supported(
-                p1.shape, self.features // 2, self.head2_features,
-                c0.shape[-1], p1.dtype,
-            )
-        )
-        if fuse_head:
-            cm, ct = self.features // 2, self.head2_features
-            kO1, bO1 = _ConvParams((3, 3, p1.shape[-1], cm), name="output_conv1")()
-            kO2, bO2 = _ConvParams((3, 3, cm, ct), name="output_conv2")()
-            gcu_p = _GatedFusionBlockParams(ct, c0.shape[-1],
-                                            name="output_conv2_fusion")()
-            kO3, bO3 = _ConvParams(
-                (1, 1, ct, 1), kernel_init=_mean_one_normal_init,
-                name="output_conv3",
-            )()
-            last_feat, out = fused_c2f_head(
-                p1, c0, kO1, bO1, kO2, bO2,
-                gcu_p["k1"], gcu_p["b1"], gcu_p["k2"], gcu_p["b2"],
-                gcu_p["ln"], gcu_p["k3"], gcu_p["kGF"], gcu_p["bGF"],
-                kO3, bO3, gate=g,
-            )
-            return [l5rn, p5, p4, p3, p2, last_feat], out
 
         out = nn.Conv(self.features // 2, (3, 3), name="output_conv1")(p1)
         last_feat = relu(nn.Conv(self.head2_features, (3, 3), name="output_conv2")(out))

@@ -44,79 +44,8 @@ class UpSample(nn.Module):
         x1 = _interp(x1, size)
         pred1 = _interp(pred1, size)
         pred2 = _interp(pred2, size)
-
-        from patchrefinerv2_tpu.ops.fused_f2r import (
-            fused_dc_supported,
-            fused_upsample_dc,
-        )
-
-        if (
-            not self.is_initializing()
-            and x1.shape[-1] + x2.shape[-1] + 2 == self.mid_ch
-            and fused_dc_supported(x1.shape, x2.shape[-1], self.out_ch, x1.dtype)
-        ):
-            # fused concat+DoubleConv (ops/fused_f2r.py, opt-in
-            # PRV2_FUSED_DC); the upsample stays an XLA resize matmul
-            kC, kD = _DoubleConvParams(
-                ((3, 3, self.mid_ch, self.mid_ch),
-                 (3, 3, self.mid_ch, self.out_ch)),
-                name="DoubleConv_0",
-            )()
-            return fused_upsample_dc(x1, x2, pred1, pred2, kC, kD)
-
         x = jnp.concatenate([x1, x2, pred1, pred2], axis=-1)
         return DoubleConv(self.out_ch, self.mid_ch)(x)
-
-
-class _DoubleConvParams(nn.Module):
-    """Parameter-only mirror of DoubleConv (Conv_0, Conv_1; no biases)."""
-
-    kshapes: tuple
-
-    @nn.compact
-    def __call__(self):
-        from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams
-
-        k0, _ = _ConvParams(self.kshapes[0], use_bias=False, name="Conv_0")()
-        k1, _ = _ConvParams(self.kshapes[1], use_bias=False, name="Conv_1")()
-        return k0, k1
-
-
-class _CNNLNParams(nn.Module):
-    """Parameter-only mirror of SingleConvCNNLN (Conv_0 kernel +
-    LayerNorm_0 scale/bias) for fused-kernel dispatch: same tree, caller
-    owns the computation."""
-
-    features: int
-    cin: int
-
-    @nn.compact
-    def __call__(self):
-        from patchrefinerv2_tpu.models.blocks.dpt import (
-            _ConvParams,
-            _LayerNormParams,
-        )
-
-        k, _ = _ConvParams((3, 3, self.cin, self.features), use_bias=False,
-                           name="Conv_0")()
-        s, b = _LayerNormParams(self.features, name="LayerNorm_0")()
-        return k, (s, b)
-
-
-class _UpSampleParams(nn.Module):
-    """Parameter-only mirror of UpSample's DoubleConv (DoubleConv_0/Conv_0,
-    DoubleConv_0/Conv_1)."""
-
-    out_ch: int
-    mid_ch: int
-    cin: int
-
-    @nn.compact
-    def __call__(self):
-        return _DoubleConvParams(
-            ((3, 3, self.cin, self.mid_ch), (3, 3, self.mid_ch, self.out_ch)),
-            name="DoubleConv_0",
-        )()
 
 
 @MODELS.register_module()
@@ -242,76 +171,8 @@ class BiDirectionalFusion(nn.Module):
             f_feat = c2f_feats[::-1]  # high-res first
             pred2 = out_depth
 
-        # fused full-res tail (ops/fused_f2r.py, opt-in PRV2_FUSED_F2R):
-        # level-0 fusion pair + last UpSample DoubleConv + final_conv +
-        # clamp in one Pallas pass. Inference-only (return_feat needs the
-        # pre-final feature, and the kernel has no VJP).
-        from patchrefinerv2_tpu.ops.fused_f2r import (
-            fused_f2r_supported,
-            fused_f2r_tail,
-        )
-
-        full_hw = c_feat[0].shape[1:3]
-        n_levels = len(c_feat)
-        # the last UpSample's input: previous decoder feature (dec_chl[-2],
-        # or the deepest temp feature when the decoder is a single stage)
-        # concat level-0 fusion feature + 2 preds
-        tail_mid_in = (
-            self.dec_chl[-2] if len(self.dec_chl) >= 2 else self.temp_chl[-1]
-        ) + self.temp_chl[0] + 2
-        fuse_tail = (
-            not return_feat
-            and not self.is_initializing()
-            and n_levels == len(self.dec_chl) + 1
-            and f_feat[0].shape[1:3] == full_hw
-            and pred1.shape[1:3] == full_hw
-            and pred2.shape[1:3] == full_hw
-            and fused_f2r_supported(
-                c_feat[0].shape,
-                c_feat[0].shape[-1],
-                f_feat[0].shape[-1],
-                self.temp_chl[0],
-                tail_mid_in,
-                self.dec_chl[-1],
-                c_feat[0].dtype,
-            )
-        )
-
-        from patchrefinerv2_tpu.ops.fused_f2r import (
-            fused_fusion_pair,
-            fused_pair_supported,
-        )
-
         temp_feats = []
         for idx, (c, f) in enumerate(zip(c_feat, f_feat)):
-            if idx == 0 and fuse_tail:
-                temp_feats.append(None)  # consumed inside the fused tail
-                continue
-            if (
-                idx > 0
-                and not return_feat
-                and not self.is_initializing()
-                and c.shape[1:3] == f.shape[1:3]
-                and fused_pair_supported(
-                    c.shape, f.shape[-1], self.temp_chl[idx], c.dtype
-                )
-            ):
-                # fused conv+LN+gelu pair (ops/fused_f2r.py, opt-in
-                # PRV2_FUSED_PAIR) — the per-level cat never materializes
-                kA, lnA = _CNNLNParams(
-                    self.temp_chl[idx], c.shape[-1] + f.shape[-1],
-                    name=f"fusion1_{idx}",
-                )()
-                kB, lnB = _CNNLNParams(
-                    self.temp_chl[idx], self.temp_chl[idx] + 2,
-                    name=f"fusion2_{idx}",
-                )()
-                p1 = _interp(pred1, c.shape[1:3])
-                p2 = _interp(pred2, c.shape[1:3])
-                temp_feats.append(
-                    fused_fusion_pair(c, f, p1, p2, kA, lnA, kB, lnB)
-                )
-                continue
             h = SingleConvCNNLN(self.temp_chl[idx], name=f"fusion1_{idx}")(
                 jnp.concatenate([c, f], axis=-1)
             )
@@ -326,33 +187,11 @@ class BiDirectionalFusion(nn.Module):
         cur = rev[0]
         mids = list(self.temp_chl)[::-1]
         in_mid = mids[0]
-        n_dec = len(self.dec_chl) - (1 if fuse_tail else 0)
-        for idx in range(n_dec):
+        for idx in range(len(self.dec_chl)):
             feat, dec_c = rev[1 + idx], self.dec_chl[idx]
             mid = mids[idx + 1] + in_mid + 2
             cur = UpSample(dec_c, mid, name=f"f2r_agg_{idx}")(cur, feat, pred1, pred2)
             in_mid = dec_c
-
-        if fuse_tail:
-            tc = self.temp_chl[0]
-            kA, lnA = _CNNLNParams(
-                tc, c_feat[0].shape[-1] + f_feat[0].shape[-1], name="fusion1_0"
-            )()
-            kB, lnB = _CNNLNParams(tc, tc + 2, name="fusion2_0")()
-            mid = tc + in_mid + 2
-            kC, kD = _UpSampleParams(
-                self.dec_chl[-1], mid, mid, name=f"f2r_agg_{len(self.dec_chl) - 1}"
-            )()
-            from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams
-
-            kE, _ = _ConvParams(
-                (3, 3, self.dec_chl[-1], 1), use_bias=False, name="final_conv"
-            )()
-            x1up = _interp(cur, full_hw)
-            return fused_f2r_tail(
-                c_feat[0], f_feat[0], pred1, pred2, x1up, update_base,
-                kA, lnA, kB, lnB, kC, kD, kE,
-            )
 
         offset = nn.Conv(1, (3, 3), use_bias=False, name="final_conv")(cur)
         out = jnp.maximum(update_base + offset, 0.0) if update_base is not None else offset

@@ -1,55 +1,80 @@
-"""Dynamic-int8 convolution for the C2F decoder hot path (opt-in).
+"""Int8 convolution for the decoder/encoder conv sinks (opt-in serving mode).
 
 The v5e MXU runs int8 at ~2x its bf16 rate (~394 TOPS vs ~197 TF/s), and
 the single-chip r32 roofline at the flagship graph's FLOP count is ~2 fps
 even at 100% bf16 MXU (docs/performance.md) — int8 is the only
-single-chip lever past that ceiling. This module implements calibration-
-free dynamic quantization for the GatedConvUnit convolutions (the
-profiled FLOP sink, ~9.5 ms each per m1 frame at 192x256x256):
+single-chip lever past that ceiling. Two activation-scale modes share the
+int8 conv core:
 
-* weights: symmetric per-output-channel int8 (scale from the live bf16
-  params at trace time — no checkpoint or calibration artifacts);
-* activations: symmetric per-tensor int8 with a dynamic abs-max scale
-  (one VPU reduction per conv input);
-* accumulation in int32 on the MXU, dequantized by sx * sw[c].
+* **dynamic** (calibration-free): symmetric per-tensor int8 with an
+  abs-max scale computed live per conv input. Measured END-TO-END SLOWER
+  than bf16 on the flagship graph (m1 3.51 vs 4.04 fps, round 3): the
+  abs-max is a serialized extra HBM reduction pass over every activation
+  tensor that XLA cannot fuse into the producer.
+* **static** (calibrated): per-site activation scales captured once by a
+  calibration pass (`PRV2_INT8_CALIB=1` + ``mutable=['quant_stats']``,
+  flax ``sow`` under the module's own scope path) and served back through
+  a ``quant_scales`` variables collection. The quantize then fuses into
+  the producer epilogue (round/clip/scale, no reduction) and the conv
+  runs at the microbenched ~1.9x MXU rate. Standard post-training
+  quantization; `tools/calibrate_int8.py` is the driver.
+
+Weights are symmetric per-output-channel int8 in both modes (scales from
+the live params at trace time); accumulation is int32 on the MXU,
+dequantized by sx * sw[c].
 
 NOT parity-preserving: per-conv relative error is ~1e-2 (int8 rounding),
 far above the 1e-3 reference-parity bar — hence opt-in via
-``PRV2_INT8=1`` and excluded from the default benchmark path. The
-feasibility microbench (tools/microbench_int8.py) measures whether XLA
-lowers int8 convs at these shapes to MXU rate before this mode is worth
-enabling. No reference counterpart (the reference has no quantized
-inference, estimator/tester/tester.py:325-404 benchmarks fp32/amp only).
+``PRV2_INT8=1`` and excluded from the default benchmark path. No
+reference counterpart (the reference has no quantized inference,
+estimator/tester/tester.py:325-404 benchmarks fp32/amp only).
 """
 
 from __future__ import annotations
 
+import itertools
 import os
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["int8_enabled", "quant_conv_same"]
+__all__ = [
+    "int8_enabled",
+    "calib_enabled",
+    "quant_conv_same",
+    "conv_dispatch",
+    "scales_from_stats",
+]
 
 
 def int8_enabled(dtype) -> bool:
-    """True when the dynamic-int8 conv path is switched on for this trace
-    (env read at trace time, like the PRV2_FUSED_* flags). Gated to
-    2-byte dtypes — i.e. the bf16 INFERENCE pipeline: training runs f32,
-    and routing a train step through round/clip would silently zero the
-    gradients of the quantized convs. ``PRV2_INT8_FORCE`` lifts the gate
-    for tests (deliberately NOT the fused kernels' ``PRV2_FUSED_FORCE``:
-    that flag left exported around an f32 training run must not flip the
-    train-step convs onto the zero-gradient quant path)."""
+    """True when the int8 conv path is switched on for this trace
+    (env read at trace time). Gated to 2-byte dtypes — i.e. the bf16
+    INFERENCE pipeline: training runs f32, and routing a train step
+    through round/clip would silently zero the gradients of the quantized
+    convs. ``PRV2_INT8_FORCE`` lifts the gate for tests (a dedicated
+    flag: a generic force flag left exported around an f32 training run
+    must not flip the train-step convs onto the zero-gradient quant
+    path)."""
     if os.environ.get("PRV2_INT8", "") in ("", "0", "false"):
         return False
     return jnp.dtype(dtype).itemsize == 2 or bool(os.environ.get("PRV2_INT8_FORCE"))
 
 
-def _quantize_per_tensor(x):
-    """Symmetric per-tensor int8: returns (x_q int8, scale f32 scalar)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    scale = jnp.maximum(amax, 1e-8) / 127.0
+def calib_enabled() -> bool:
+    """True when this trace is an int8 calibration pass: quant sites sow
+    their activation abs-max into the ``quant_stats`` collection and run
+    the EXACT conv (calibration observes the unquantized distribution)."""
+    return os.environ.get("PRV2_INT8_CALIB", "") not in ("", "0", "false")
+
+
+def _quantize_per_tensor(x, amax=None):
+    """Symmetric per-tensor int8: returns (x_q int8, scale f32 scalar).
+    With ``amax`` (a calibrated abs-max) the reduction is skipped and the
+    round/clip/scale fuses into the producer epilogue."""
+    if amax is None:
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    scale = jnp.maximum(amax.astype(jnp.float32), 1e-8) / 127.0
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
     return x_q.astype(jnp.int8), scale
 
@@ -63,11 +88,13 @@ def _quantize_per_out_channel(k):
     return k_q.astype(jnp.int8), scale
 
 
-def quant_conv_same(x, kernel, bias):
+def quant_conv_same(x, kernel, bias, x_amax=None):
     """SAME conv computed on the int8 MXU path, matching the f32/_conv_same
-    result up to int8 rounding (~1e-2 rel). Output dtype follows x."""
+    result up to int8 rounding (~1e-2 rel). Output dtype follows x.
+    ``x_amax``: calibrated activation abs-max (static mode); None =
+    dynamic per-tensor scale."""
     out_dtype = x.dtype
-    x_q, sx = _quantize_per_tensor(x)
+    x_q, sx = _quantize_per_tensor(x, x_amax)
     k_q, sw = _quantize_per_out_channel(kernel)
     acc = jax.lax.conv_general_dilated(
         x_q, k_q, (1, 1), "SAME",
@@ -78,3 +105,74 @@ def quant_conv_same(x, kernel, bias):
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(out_dtype)
+
+
+def conv_dispatch(mdl, dtype, fallback):
+    """Per-module quant-aware conv dispatcher.
+
+    Returns a ``conv(x, kernel, bias)`` callable for use inside a flax
+    module's ``__call__``. Call sites within the module are numbered in
+    call order (``qamax_0``, ``qamax_1``, ...) under the module's own
+    scope path, so calibration and serving traces of the same graph agree
+    on names. Modes:
+
+    * initialization / flags off -> ``fallback`` (the exact conv);
+    * ``PRV2_INT8_CALIB=1``      -> exact conv + sow the activation
+      abs-max into ``quant_stats`` (requires ``mutable=['quant_stats']``);
+    * ``PRV2_INT8=1`` + a ``quant_scales`` entry for the site -> static-
+      scale int8 (no reduction);
+    * ``PRV2_INT8=1`` otherwise  -> dynamic int8 (abs-max per input).
+    """
+    if mdl.is_initializing():
+        return fallback
+    calib = calib_enabled()
+    if not calib and not int8_enabled(dtype):
+        return fallback
+    counter = itertools.count()
+    # arithmetic-intensity gate: int8 wins only where the 2x MXU rate
+    # outweighs the quantize/dequant memory passes. Per input element a
+    # conv does ~2*kh*kw*cout FLOPs; v5e needs ~240 FLOP/byte to be
+    # compute-bound (197 TF/s / 819 GB/s), so low-kh*kw*cout convs (1x1
+    # small-C, head convs) are traffic-bound and quantizing them only
+    # adds passes. Threshold tunable for A/B via PRV2_INT8_MIN_KC.
+    min_kc = int(os.environ.get("PRV2_INT8_MIN_KC", "2048"))
+
+    def conv(x, kernel, bias):
+        name = f"qamax_{next(counter)}"
+        kh, kw, _, cout = kernel.shape
+        if kh * kw * cout < min_kc and not calib:
+            return fallback(x, kernel, bias)
+        if calib:
+            amax = jax.lax.stop_gradient(
+                jnp.max(jnp.abs(x.astype(jnp.float32)))
+            )
+            mdl.sow(
+                "quant_stats", name, amax,
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+            return fallback(x, kernel, bias)
+        x_amax = (
+            mdl.get_variable("quant_scales", name)
+            if mdl.has_variable("quant_scales", name)
+            else None
+        )
+        return quant_conv_same(x, kernel, bias, x_amax=x_amax)
+
+    return conv
+
+
+def scales_from_stats(stats_trees):
+    """Fold one or more ``quant_stats`` collections (as returned by
+    ``apply(..., mutable=['quant_stats'])``, one per calibration batch)
+    into a ``quant_scales`` collection: elementwise max of the observed
+    abs-max values, same tree structure. Inject into serving variables as
+    ``{**variables, 'quant_scales': scales}``."""
+    import functools
+
+    trees = list(stats_trees)
+    if not trees:
+        raise ValueError("no calibration stats")
+    return jax.tree_util.tree_map(
+        lambda *xs: functools.reduce(jnp.maximum, xs), *trees
+    )

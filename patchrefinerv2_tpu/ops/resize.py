@@ -25,15 +25,6 @@ import numpy as np
 
 __all__ = ["resize", "resize_matrix", "resize_nchw_like_torch"]
 
-# Pallas path: OPT-IN via PRV2_PALLAS_RESIZE=1. Standalone the kernel is
-# ~6x the dense matmul on the big pyramid upsamples, but inside the full
-# tiled-inference program it measured SLOWER (m1 3.56 -> 3.12 fps): XLA
-# fuses the dense resize dots with their producer/consumer convs, and the
-# opaque pallas_call breaks those fusions. Kept for targeted use and as
-# the base for a fused upsample+conv kernel.
-_PALLAS_ENABLED = os.environ.get("PRV2_PALLAS_RESIZE") in ("1", "true", "True")
-
-
 @functools.lru_cache(maxsize=None)
 def _resize_matrix_np(
     in_size: int,
@@ -246,29 +237,6 @@ def resize(
     sh, sw = scale_override if scale_override else (None, None)
 
     compute_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
-
-    # channel-heavy bilinear resizes take the fused Pallas kernel: one HBM
-    # read + one write, no XLA layout copies around the dots (ops/
-    # pallas_resize.py; ~6x the dense path on the fusion-pyramid upsamples)
-    if (
-        _PALLAS_ENABLED
-        and mode == "bilinear"
-        and scale_override is None
-        and x.ndim == 4
-    ):
-        from patchrefinerv2_tpu.ops.pallas_resize import (
-            bilinear_resize_fused,
-            pallas_resize_supported,
-        )
-
-        if pallas_resize_supported(
-            x.shape, (out_h, out_w), mode, jnp.dtype(compute_dtype).itemsize
-        ):
-            y = bilinear_resize_fused(
-                x.astype(compute_dtype), (out_h, out_w), bool(align_corners)
-            )
-            return y.astype(dtype)
-
     y = x.astype(compute_dtype)
 
     for axis, out_size, s in ((1, out_h, sh), (2, out_w, sw)):

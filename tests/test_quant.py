@@ -62,7 +62,7 @@ def test_int8_flag_gating(monkeypatch):
     monkeypatch.setenv("PRV2_INT8_FORCE", "1")
     assert int8_enabled(jnp.float32)  # test override
     monkeypatch.delenv("PRV2_INT8_FORCE")
-    # the fused kernels' test flag must NOT lift the int8 dtype gate
+    # a stray generic force flag must NOT lift the int8 dtype gate
     monkeypatch.setenv("PRV2_FUSED_FORCE", "1")
     assert not int8_enabled(jnp.float32)
     monkeypatch.delenv("PRV2_FUSED_FORCE")
@@ -82,19 +82,45 @@ def test_int8_infer_close_to_f32(monkeypatch):
 
     monkeypatch.setenv("PRV2_INT8", "1")
     monkeypatch.setenv("PRV2_INT8_FORCE", "1")  # tiny model infers in f32
+    monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
     type(model)._jitted_infer.cache_clear()  # env flags bind at trace
     d_i8, _ = model.infer(variables, image_lr, image_hr, cai_mode="m1", process_num=2)
     monkeypatch.delenv("PRV2_INT8")
     monkeypatch.delenv("PRV2_INT8_FORCE")
     type(model)._jitted_infer.cache_clear()
 
-    d_f32, d_i8 = np.asarray(d_f32), np.asarray(d_i8)
+    d_f32a, d_i8 = np.asarray(d_f32), np.asarray(d_i8)
     assert np.isfinite(d_i8).all()
-    assert d_i8.shape == d_f32.shape
+    assert d_i8.shape == d_f32a.shape
     # depth maps agree to int8-rounding accumulation error, not exactly
-    rel = np.abs(d_i8 - d_f32) / np.maximum(np.abs(d_f32), 1e-3)
+    rel = np.abs(d_i8 - d_f32a) / np.maximum(np.abs(d_f32a), 1e-3)
     assert float(np.median(rel)) < 0.05, float(np.median(rel))
-    assert not np.array_equal(d_i8, d_f32)  # the int8 path actually ran
+    assert not np.array_equal(d_i8, d_f32a)  # the int8 path actually ran
+
+    # static (calibrated) leg: quant_scales flows through the jitted scan
+    # program + the _infer_variables cast, and stays close to the exact
+    # graph. Shares this test's compiled f32 baseline (a separate e2e
+    # would re-pay two full tiny-model compiles on CPU).
+    monkeypatch.delenv("PRV2_INT8", raising=False)
+    cal_vars = model.calibrate_int8(variables, [(image_lr, image_hr)],
+                                    process_num=2)
+    assert "quant_scales" in cal_vars
+    assert len(jax.tree_util.tree_leaves(cal_vars["quant_scales"])) > 0
+    monkeypatch.setenv("PRV2_INT8", "1")
+    monkeypatch.setenv("PRV2_INT8_FORCE", "1")
+    monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
+    type(model)._jitted_infer.cache_clear()
+    d_st, _ = model.infer(cal_vars, image_lr, image_hr, cai_mode="m1",
+                          process_num=2)
+    monkeypatch.delenv("PRV2_INT8")
+    monkeypatch.delenv("PRV2_INT8_FORCE")
+    monkeypatch.delenv("PRV2_INT8_MIN_KC")
+    type(model)._jitted_infer.cache_clear()
+    d_st = np.asarray(d_st)
+    assert np.isfinite(d_st).all()
+    rel = np.abs(d_st - d_f32a) / np.maximum(np.abs(d_f32a), 1e-3)
+    assert float(np.median(rel)) < 0.05, float(np.median(rel))
+    assert not np.array_equal(d_st, d_f32a)
 
 
 def test_doubleconv_int8_and_layout(monkeypatch):
@@ -115,6 +141,7 @@ def test_doubleconv_int8_and_layout(monkeypatch):
 
     monkeypatch.setenv("PRV2_INT8", "1")
     monkeypatch.setenv("PRV2_INT8_FORCE", "1")
+    monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
     out = np.asarray(mod.apply(v, x))
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert 0 < err < 0.05, f"int8 DoubleConv error {err:.4f}"
@@ -139,6 +166,7 @@ def test_mbconv_int8_and_layout(monkeypatch):
 
     monkeypatch.setenv("PRV2_INT8", "1")
     monkeypatch.setenv("PRV2_INT8_FORCE", "1")
+    monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
     out = np.asarray(mod.apply(v, x, False))
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert 0 < err < 0.05, f"int8 MBConv error {err:.4f}"
@@ -160,3 +188,58 @@ def test_quant_conv_bf16(monkeypatch):
     out = np.asarray(out_j, np.float32)
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert err < 0.05, f"bf16 int8 conv error {err:.4f}"
+
+
+def test_calibrated_static_scales_unit(monkeypatch):
+    """Calibration sows per-site activation abs-max under the module's own
+    scope; serving with the folded quant_scales collection quantizes
+    against the calibrated grid. For the FIRST conv the calibration batch
+    and the serving batch see the same input, so static == dynamic
+    bit-for-bit there; downstream convs see slightly different inputs
+    (calibration runs the exact graph) so the whole-module outputs only
+    agree to quantization-grid tolerance."""
+    from patchrefinerv2_tpu.models.blocks.convs import DoubleConv, SingleConvCNNLN
+    from patchrefinerv2_tpu.ops.quant import scales_from_stats
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(1, 16, 16, 8), jnp.float32)
+
+    # single conv: static == dynamic exactly on the calibration batch
+    single = SingleConvCNNLN(8)
+    monkeypatch.delenv("PRV2_INT8", raising=False)
+    vs = single.init(jax.random.PRNGKey(1), x)
+    monkeypatch.setenv("PRV2_INT8_CALIB", "1")
+    _, stats1 = single.apply(vs, x, mutable=["quant_stats"])
+    monkeypatch.delenv("PRV2_INT8_CALIB")
+    monkeypatch.setenv("PRV2_INT8", "1")
+    monkeypatch.setenv("PRV2_INT8_FORCE", "1")
+    monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
+    out_dyn1 = np.asarray(single.apply(vs, x))
+    out_st1 = np.asarray(single.apply(
+        {**vs, "quant_scales": scales_from_stats([stats1["quant_stats"]])}, x))
+    np.testing.assert_array_equal(out_st1, out_dyn1)
+    monkeypatch.delenv("PRV2_INT8")
+    monkeypatch.delenv("PRV2_INT8_FORCE")
+
+    mod = DoubleConv(features=8, mid_features=12)
+    v = mod.init(jax.random.PRNGKey(0), x)
+
+    # calibration pass: exact conv + sown stats
+    monkeypatch.setenv("PRV2_INT8_CALIB", "1")
+    out_calib, stats = mod.apply(v, x, mutable=["quant_stats"])
+    monkeypatch.delenv("PRV2_INT8_CALIB")
+    ref = np.asarray(mod.apply(v, x))
+    np.testing.assert_array_equal(np.asarray(out_calib), ref)
+    leaves = jax.tree_util.tree_leaves(stats["quant_stats"])
+    assert len(leaves) == 2  # two convs in DoubleConv
+    assert all(float(l) > 0 for l in leaves)
+
+    # serving: static result close to both the exact and the dynamic graphs
+    scales = scales_from_stats([stats["quant_stats"]])
+    monkeypatch.setenv("PRV2_INT8", "1")
+    monkeypatch.setenv("PRV2_INT8_FORCE", "1")
+    out_dyn = np.asarray(mod.apply(v, x))
+    out_static = np.asarray(mod.apply({**v, "quant_scales": scales}, x))
+    np.testing.assert_allclose(out_static, out_dyn, rtol=0, atol=0.05)
+    err = np.linalg.norm(out_static - ref) / np.linalg.norm(ref)
+    assert 0 < err < 0.05

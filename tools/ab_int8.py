@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Accuracy A/B for the int8 serving modes (PRV2_INT8).
+
+Runs the flagship graph (bench.py geometry) on the same input and
+weights — bf16 baseline vs the int8 conv path (dynamic scales, and
+calibrated static scales) — and reports the relative depth error. This
+quantifies the accuracy cost of the 2x-MXU serving mode against the
+<=1e-3 reference-parity bar (BASELINE.md): the int8 mode is opt-in
+precisely because this error is expected to exceed that bar
+(ops/quant.py header).
+
+    python tools/ab_int8.py [--cai-mode m1] [--process-num 16]
+                            [--calib-frames 2]
+
+The fps side of the A/B is bench.py with BENCH_INT8=1|static; this tool
+is the accuracy side. No reference counterpart (the reference benchmarks
+fp32/amp only, estimator/tester/tester.py:325-404).
+"""
+
+import argparse
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cai-mode", default="m1")
+    ap.add_argument("--process-num", type=int, default=16)
+    ap.add_argument("--calib-frames", type=int, default=2)
+    args = ap.parse_args()
+
+    # keep flag state out of the traced graphs except the ones we toggle
+    for k in list(os.environ):
+        if k.startswith("PRV2_"):
+            del os.environ[k]
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import flagship_config
+    from patchrefinerv2_tpu.registry import MODELS
+
+    model = MODELS.build(dict(type="PatchRefinerPlus", config=flagship_config()))
+    variables = model.init(jax.random.PRNGKey(0))
+
+    rng = np.random.RandomState(0)
+    image_lr = jnp.asarray(rng.rand(1, 384, 512, 3), jnp.float32)
+    image_hr = jnp.asarray(rng.rand(1, 2160, 3840, 3), jnp.float32)
+    seed = jax.random.PRNGKey(0)
+
+    def run(v):
+        type(model)._jitted_infer.cache_clear()  # PRV2_* binds at trace
+        d, _ = model.infer(
+            v, image_lr, image_hr,
+            cai_mode=args.cai_mode, process_num=args.process_num, seed=seed,
+        )
+        return np.asarray(jax.device_get(d), np.float64)
+
+    def report(tag, d, ref):
+        rel = np.abs(d - ref) / np.maximum(np.abs(ref), 1e-6)
+        print(f"{tag:14s} rel err vs bf16: mean={rel.mean():.2e} "
+              f"p50={np.percentile(rel, 50):.2e} "
+              f"p99={np.percentile(rel, 99):.2e} max={rel.max():.2e}  "
+              f">1e-3: {(rel > 1e-3).mean()*100:.1f}%  "
+              f">1e-2: {(rel > 1e-2).mean()*100:.2f}%")
+
+    d_bf16 = run(variables)
+    print(f"cai_mode={args.cai_mode} depth shape={d_bf16.shape}")
+
+    os.environ["PRV2_INT8"] = "1"
+    report("int8[dynamic]", run(variables), d_bf16)
+    del os.environ["PRV2_INT8"]
+
+    # calibrate on DIFFERENT random frames than the measured one (the
+    # honest PTQ setting: serving inputs are not the calibration set)
+    cal_frames = []
+    crng = np.random.RandomState(100)
+    for _ in range(args.calib_frames):
+        cal_frames.append((
+            jnp.asarray(crng.rand(1, 384, 512, 3), jnp.float32),
+            jnp.asarray(crng.rand(1, 2160, 3840, 3), jnp.float32),
+        ))
+    cal_vars = model.calibrate_int8(variables, cal_frames,
+                                    process_num=args.process_num)
+    os.environ["PRV2_INT8"] = "1"
+    report("int8[static]", run(cal_vars), d_bf16)
+    del os.environ["PRV2_INT8"]
+
+
+if __name__ == "__main__":
+    main()

@@ -1,17 +1,22 @@
 #!/usr/bin/env python
-"""Per-flag fused-kernel A/B matrix on the real chip.
+"""Per-flag A/B matrix on the real chip.
 
-Runs ``bench.py`` in bounded subprocesses — baseline (all fused kernels
-off), each fused flag alone, then all together — and prints a delta table
-so a measurement session attributes wins/regressions to individual
-kernels instead of the all-or-nothing auto probe. Each variant gets its
-own subprocess: a mosaic compile failure or a relay hang costs that
-variant its timeout, never the session. The persistent JAX compilation
-cache (bench.py sets JAX_COMPILATION_CACHE_DIR) makes repeats cheap.
+Runs ``bench.py`` in bounded subprocesses — baseline (all experiment
+flags off), then each flag variant — and prints a delta table so a
+measurement session attributes wins/regressions to individual flags.
+Each variant gets its own subprocess: a compile failure or a relay hang
+costs that variant its timeout, never the session. The persistent JAX
+compilation cache (bench.py sets JAX_COMPILATION_CACHE_DIR) makes
+repeats cheap.
+
+The round-2/3 fused-Pallas-kernel flag family this harness was built for
+is retired (measured at-or-below baseline or structurally uncompilable —
+docs/performance.md "Retired kernels"); the surviving default variant is
+the non-parity dynamic-int8 serving mode.
 
 Usage:
     python tools/bench_matrix.py [--mode m1] [--iters 10] [--timeout 2400]
-    python tools/bench_matrix.py --mode r32 --only PRV2_FUSED_GCU=full,PRV2_FUSED_F2R=1
+    python tools/bench_matrix.py --mode r32 --only PRV2_INT8=1
 """
 
 import argparse
@@ -22,28 +27,28 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# keep in sync with bench.py:_FUSED_FLAGS
+# experiment flags: BENCH_* keys go straight into the subprocess env
+# (bench.py reads them at startup); other keys ride BENCH_FLAGS and are
+# exported at trace time. The int8 serving modes are NOT parity-preserving.
 FLAGS = [
-    ("PRV2_FUSED_GCU", "full"),
-    ("PRV2_FUSED_GCU", "tail"),
-    ("PRV2_FUSED_F2R", "1"),
-    ("PRV2_FUSED_C2F_HEAD", "1"),
-    ("PRV2_FUSED_PAIR", "1"),
-    ("PRV2_FUSED_DC", "1"),
-    ("PRV2_FLASH_BEIT", "1"),
+    ("BENCH_INT8", "static"),  # calibrated activation scales (PTQ)
+    ("BENCH_INT8", "1"),       # dynamic per-tensor activation scales
 ]
 
 
 def run_variant(name, flag_pairs, mode, iters, warmup, timeout):
-    spec = ",".join(f"{k}={v}" for k, v in flag_pairs)
-    # strip inherited PRV2_* flags so an exported kernel flag from an
+    direct = {k: v for k, v in flag_pairs if k.startswith("BENCH_")}
+    spec = ",".join(f"{k}={v}" for k, v in flag_pairs if not k.startswith("BENCH_"))
+    # strip inherited PRV2_*/BENCH_INT8 flags so an exported flag from an
     # earlier manual session can't contaminate every variant's delta
-    env = {k: v for k, v in os.environ.items() if not k.startswith("PRV2_")}
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith("PRV2_") and k != "BENCH_INT8"}
     env.update(
         BENCH_CAI_MODE=mode,
         BENCH_ITERS=str(iters),
         BENCH_WARMUP=str(warmup),
-        BENCH_FUSED=("0" if not flag_pairs else "flags:" + spec),
+        BENCH_FLAGS=spec,
+        **direct,
     )
     try:
         proc = subprocess.run(
@@ -98,13 +103,14 @@ def main():
     else:
         if not args.skip_singles:
             variants += [(f"{k}={v}", [(k, v)]) for k, v in FLAGS]
-        # all-on uses the first value listed per flag (full GCU)
+        # all-on uses the first value listed per flag
         seen, allon = set(), []
         for k, v in FLAGS:
             if k not in seen:
                 seen.add(k)
                 allon.append((k, v))
-        variants.append(("ALL", allon))
+        if len(allon) > 1:
+            variants.append(("ALL", allon))
 
     results = []
     base_fps = None
@@ -133,8 +139,8 @@ def main():
             single_fps[pairs[0]] = fps
 
     # winners-only combo: individually-positive flags composed (ALL mixes
-    # losers in; the best config is usually this subset). For PRV2_FUSED_GCU
-    # keep only the better of full/tail.
+    # losers in; the best config is usually this subset). For multi-valued
+    # flags keep only the better value.
     if base_fps and single_fps and not args.only:
         best_by_key = {}
         for (k, v), fps in single_fps.items():
@@ -143,8 +149,8 @@ def main():
                 if cur is None or fps > cur[1]:
                     best_by_key[k] = (v, fps)
         winners = [(k, v) for k, (v, _) in sorted(best_by_key.items())]
-        all_flags = dict(next(p for n, p in variants if n == "ALL"))
-        if winners and dict(winners) != all_flags:
+        all_flags = dict(next((p for n, p in variants if n == "ALL"), []))
+        if winners and dict(winners) != all_flags and len(winners) > 1:
             measure("WINNERS:" + ",".join(f"{k}={v}" for k, v in winners), winners)
 
     with open(out_path, "w") as f:

@@ -2,7 +2,7 @@
 """Capture a jax.profiler trace of the flagship tiled-inference program.
 
 Usage: python tools/profile_infer.py [outdir] (env: BENCH_CAI_MODE,
-BENCH_PROCESS_NUM, PRV2_PALLAS_RESIZE). Writes an xplane trace consumable
+BENCH_PROCESS_NUM, PRV2_INT8). Writes an xplane trace consumable
 by tensorboard_plugin_profile / xprof for op-level breakdowns.
 """
 

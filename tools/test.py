@@ -15,6 +15,13 @@ import os
 
 import jax
 
+# Honor JAX_PLATFORMS even where a python startup hook registers a TPU
+# plugin backend unconditionally (the env var alone is then ineffective;
+# same route as tests/conftest.py): flip jax.config BEFORE any backend
+# query locks the platform in.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 from patchrefinerv2_tpu.config import Config
 from patchrefinerv2_tpu.registry import build_dataset, build_model
 from patchrefinerv2_tpu.datasets.base import DataLoader

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Wait for the TPU backend to become reachable, then run the fused-kernel
+"""Wait for the TPU backend to become reachable, then run the per-flag
 bench matrix (tools/bench_matrix.py) for the requested modes.
 
 The axon TPU relay intermittently drops; backend init then HANGS rather
