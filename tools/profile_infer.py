@@ -2,8 +2,11 @@
 """Capture a jax.profiler trace of the flagship tiled-inference program.
 
 Usage: python tools/profile_infer.py [outdir] (env: BENCH_CAI_MODE,
-BENCH_PROCESS_NUM, PRV2_INT8). Writes an xplane trace consumable
-by tensorboard_plugin_profile / xprof for op-level breakdowns.
+BENCH_PROCESS_NUM, PRV2_INT8; PRV2_INT8=static additionally calibrates
+per-site activation scales on the profile input first, so the trace shows
+the PTQ serving graph, not the dynamic-reduction one). Writes an xplane
+trace consumable by tensorboard_plugin_profile / xprof for op-level
+breakdowns.
 """
 
 import os
@@ -32,6 +35,13 @@ def main():
     image_lr = jnp.asarray(rng.rand(1, 384, 512, 3), jnp.float32)
     image_hr = jnp.asarray(rng.rand(1, 2160, 3840, 3), jnp.float32)
     seed = jax.random.PRNGKey(0)
+
+    if os.environ.get("PRV2_INT8", "") == "static":
+        os.environ["PRV2_INT8"] = "1"
+        variables = model.calibrate_int8(
+            variables, [(image_lr, image_hr)], process_num=process_num
+        )
+        print("calibrated static int8 scales", flush=True)
 
     def once():
         d, _ = model.infer(
