@@ -70,17 +70,39 @@ class ChannelLayerNorm(nn.Module):
 
 class SingleConvCNNLN(nn.Module):
     """conv3x3(no bias) -> channel LN -> GELU
-    (reference convs.py:65-76, kernel_size configurable for glb_att projs)."""
+    (reference convs.py:65-76, kernel_size configurable for glb_att projs).
+
+    ``s2d_split``: when set (a tuple of original part widths), the input
+    is ``cat(s2d(part) for part in parts)`` and the block runs in
+    space-to-depth form with an expanded kernel — exact numerics, full
+    lane tiles for the C=32 full-resolution instances (ops/s2d.py)."""
 
     features: int
     kernel_size: int = 3
+    s2d_split: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
-        from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams, _conv_same
+        from patchrefinerv2_tpu.models.blocks.dpt import (
+            _ConvParams, _LayerNormParams, _conv_same,
+        )
         from patchrefinerv2_tpu.ops.quant import conv_dispatch
 
         k = self.kernel_size
+        if self.s2d_split is not None:
+            from patchrefinerv2_tpu.ops import s2d as s2d_ops
+
+            assert k == 3 and sum(self.s2d_split) * 4 == x.shape[-1]
+            kern, _ = _ConvParams(
+                (3, 3, sum(self.s2d_split), self.features),
+                use_bias=False, name="Conv_0",
+            )()
+            x = _conv_same(
+                x, s2d_ops.s2d_same_kernel(kern, split=tuple(self.s2d_split)),
+                None,
+            )
+            ln_s, ln_b = _LayerNormParams(self.features, name="LayerNorm_0")()
+            return gelu(s2d_ops.layer_norm_s2d(x, ln_s, ln_b))
         # explicit Conv_0 kernel (same tree as nn.Conv) so the fusion-pair
         # convs — the 512-channel concat sites — can take the int8 path
         # (ops/quant.py, opt-in PRV2_INT8, calibrated or dynamic scales)

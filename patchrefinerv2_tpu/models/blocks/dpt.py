@@ -104,15 +104,50 @@ class GatedConvUnit(nn.Module):
     nn.LayerNorm composition: Conv_0, Conv_1, LayerNorm_0, Conv_2) so the
     hot instances can dispatch through the dynamic-int8 conv path without
     forking the checkpoint layout.
+
+    With ``s2d=True``, ``x`` and ``c_feat`` arrive in space-to-depth form
+    (ops/s2d.py) and the stored kernels are expanded with structural
+    zeros at apply time — exact numerics, 4x lane occupancy for the
+    C=32 full-resolution head instance (the checkpoint tree is
+    unchanged; the transform is a view of the same parameters).
     """
 
     features: int
     gate: bool = True
     fusion: bool = True
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, c_feat=None):
-        k1, b1 = _ConvParams((3, 3, x.shape[-1], self.features), name="Conv_0")()
+        cin = x.shape[-1] // 4 if self.s2d else x.shape[-1]
+        k1, b1 = _ConvParams((3, 3, cin, self.features), name="Conv_0")()
+        if self.s2d:
+            from patchrefinerv2_tpu.ops import s2d as s2d_ops
+
+            out = _conv_same(
+                relu(x), s2d_ops.s2d_same_kernel(k1), s2d_ops.tile_bias(b1)
+            ) + x
+            if not self.fusion:
+                return out
+            cc = c_feat.shape[-1] // 4
+            k2, b2 = _ConvParams(
+                (3, 3, self.features + cc, self.features), name="Conv_1"
+            )()
+            ln_s, ln_b = _LayerNormParams(self.features, name="LayerNorm_0")()
+            k3, _ = _ConvParams(
+                (1, 1, self.features, self.features), use_bias=False,
+                name="Conv_2",
+            )()
+            fused = _conv_same(
+                jnp.concatenate([out, c_feat], axis=-1),
+                s2d_ops.s2d_same_kernel(k2, split=(self.features, cc)),
+                s2d_ops.tile_bias(b2),
+            )
+            fused = s2d_ops.layer_norm_s2d(fused, ln_s, ln_b)
+            fused = _conv_same(relu(fused), s2d_ops.s2d_1x1_kernel(k3), None)
+            if self.gate:
+                return out * nn.sigmoid(fused)
+            return fused
         if not self.fusion:
             return _conv_same(relu(x), k1, b1) + x
 
@@ -141,19 +176,36 @@ class GatedConvUnit(nn.Module):
 
 
 class GatedFusionBlock(nn.Module):
-    """Fusion block with gated units (bi_directional_fusion_model.py:85-146)."""
+    """Fusion block with gated units (bi_directional_fusion_model.py:85-146).
+
+    ``s2d=True`` (only valid with ``upscale=False``, the full-resolution
+    head instance): inputs/outputs in space-to-depth form — see
+    GatedConvUnit."""
 
     features: int
     gate: bool = True
     fusion: bool = True
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, skip=None, size=None, coarse_feat=None, upscale=True):
         out = x
         if skip is not None:
-            res = GatedConvUnit(self.features, self.gate, self.fusion)(skip, coarse_feat)
+            res = GatedConvUnit(self.features, self.gate, self.fusion,
+                                s2d=self.s2d)(skip, coarse_feat)
             out = out + res
-        out = GatedConvUnit(self.features, self.gate, self.fusion)(out, coarse_feat)
+        out = GatedConvUnit(self.features, self.gate, self.fusion,
+                            s2d=self.s2d)(out, coarse_feat)
+        if self.s2d:
+            assert not upscale
+            from patchrefinerv2_tpu.ops import s2d as s2d_ops
+
+            k, b = _ConvParams(
+                (1, 1, self.features, self.features), name="Conv_0"
+            )()
+            return _conv_same(
+                out, s2d_ops.s2d_1x1_kernel(k), s2d_ops.tile_bias(b)
+            )
         if upscale:
             out = upsample_bilinear_ac(out, size=size)
         return nn.Conv(self.features, (1, 1), use_bias=True)(out)
@@ -263,6 +315,37 @@ class C2FModule(nn.Module):
         )
 
         out = nn.Conv(self.features // 2, (3, 3), name="output_conv1")(p1)
+
+        from patchrefinerv2_tpu.ops import s2d as s2d_ops
+
+        if s2d_ops.s2d_enabled() and out.shape[1] % 2 == 0 and out.shape[2] % 2 == 0:
+            # full-resolution C<=32 head in space-to-depth form (exact;
+            # ops/s2d.py header). Param tree identical to the plain path;
+            # last_feat is RETURNED in s2d form — BiDirectionalFusion
+            # checks the same trace-time flag and consumes it as such.
+            k2, b2 = _ConvParams(
+                (3, 3, out.shape[-1], self.head2_features), name="output_conv2"
+            )()
+            last_feat = relu(s2d_ops.conv_s2d_down(out, k2, b2))
+            last_feat = GatedFusionBlock(
+                self.head2_features, g, f, name="output_conv2_fusion", s2d=True
+            )(
+                last_feat,
+                coarse_feat=s2d_ops.space_to_depth(coarse_features[0]),
+                upscale=False,
+            )
+            k3, b3 = _ConvParams(
+                (1, 1, self.head2_features, 1),
+                kernel_init=_mean_one_normal_init,
+                name="output_conv3",
+            )()
+            out = s2d_ops.depth_to_space(
+                _conv_same(last_feat, s2d_ops.s2d_1x1_kernel(k3),
+                           s2d_ops.tile_bias(b3))
+            )
+            feats = [l5rn, p5, p4, p3, p2, last_feat]
+            return feats, out
+
         last_feat = relu(nn.Conv(self.head2_features, (3, 3), name="output_conv2")(out))
         last_feat = GatedFusionBlock(self.head2_features, g, f, name="output_conv2_fusion")(
             last_feat, coarse_feat=coarse_features[0], upscale=False

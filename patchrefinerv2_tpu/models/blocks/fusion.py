@@ -152,6 +152,19 @@ class BiDirectionalFusion(nn.Module):
                 )(sel_f, pe_patch, sel_c, pe)
                 f_feat[i] = jnp.concatenate([f_feat[i], fine_update], axis=-1)
 
+        # full-resolution C=32 tail in space-to-depth form (exact layout
+        # change, ops/s2d.py): C2FModule returns last_feat (= f_feat[0])
+        # in s2d form under the same trace-time flag; the fusion1_0/
+        # fusion2_0 convs consume it as such and only the f2r_agg_4 input
+        # converts back. Same parameters, 4x lane occupancy.
+        from patchrefinerv2_tpu.ops import s2d as s2d_ops
+
+        tail_s2d = (
+            s2d_ops.s2d_enabled()
+            and self.coarse2fine
+            and self.coarse2fine_type != "only-gate"
+        )
+
         if self.coarse2fine:
             fine5 = f_feat[1:]  # drop duplicated top level
             gate = self.coarse2fine_type == "coarse-gated"
@@ -173,6 +186,21 @@ class BiDirectionalFusion(nn.Module):
 
         temp_feats = []
         for idx, (c, f) in enumerate(zip(c_feat, f_feat)):
+            if idx == 0 and tail_s2d:
+                # f (= c2f last_feat) is already s2d; lift the coarse
+                # level and the two 1-channel predictions to match
+                h = SingleConvCNNLN(
+                    self.temp_chl[0], name="fusion1_0",
+                    s2d_split=(c.shape[-1], f.shape[-1] // 4),
+                )(jnp.concatenate([s2d_ops.space_to_depth(c), f], axis=-1))
+                p1s = s2d_ops.space_to_depth(_interp(pred1, c.shape[1:3]))
+                p2s = s2d_ops.space_to_depth(_interp(pred2, c.shape[1:3]))
+                h = SingleConvCNNLN(
+                    self.temp_chl[0], name="fusion2_0",
+                    s2d_split=(self.temp_chl[0], 1, 1),
+                )(jnp.concatenate([h, p1s, p2s], axis=-1))
+                temp_feats.append(s2d_ops.depth_to_space(h))
+                continue
             h = SingleConvCNNLN(self.temp_chl[idx], name=f"fusion1_{idx}")(
                 jnp.concatenate([c, f], axis=-1)
             )
@@ -193,7 +221,18 @@ class BiDirectionalFusion(nn.Module):
             cur = UpSample(dec_c, mid, name=f"f2r_agg_{idx}")(cur, feat, pred1, pred2)
             in_mid = dec_c
 
-        offset = nn.Conv(1, (3, 3), use_bias=False, name="final_conv")(cur)
+        if (s2d_ops.s2d_enabled()
+                and cur.shape[1] % 2 == 0 and cur.shape[2] % 2 == 0):
+            # Cout=1 3x3 convs run ~10x below HBM peak (lane tiles are
+            # 128-wide); the stride-2 s2d-down form emits the 4 phase
+            # groups as 4 output channels instead — exact (ops/s2d.py)
+            from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams
+
+            kf, _ = _ConvParams((3, 3, cur.shape[-1], 1), use_bias=False,
+                                name="final_conv")()
+            offset = s2d_ops.depth_to_space(s2d_ops.conv_s2d_down(cur, kf, None))
+        else:
+            offset = nn.Conv(1, (3, 3), use_bias=False, name="final_conv")(cur)
         out = jnp.maximum(update_base + offset, 0.0) if update_base is not None else offset
         if return_feat:
             # the reference's distillation hook point: the input to

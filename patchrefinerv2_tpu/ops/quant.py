@@ -88,14 +88,17 @@ def _quantize_per_out_channel(k):
     return k_q.astype(jnp.int8), scale
 
 
-def quant_conv_same(x, kernel, bias, x_amax=None):
+def quant_conv_same(x, kernel, bias, x_amax=None, kq_sw=None):
     """SAME conv computed on the int8 MXU path, matching the f32/_conv_same
     result up to int8 rounding (~1e-2 rel). Output dtype follows x.
     ``x_amax``: calibrated activation abs-max (static mode); None =
-    dynamic per-tensor scale."""
+    dynamic per-tensor scale. ``kq_sw``: pre-quantized (int8 kernel,
+    per-channel scale) captured at calibration — skips the in-graph
+    weight round/clip (which XLA re-runs per scan step) and halves the
+    weight HBM traffic."""
     out_dtype = x.dtype
     x_q, sx = _quantize_per_tensor(x, x_amax)
-    k_q, sw = _quantize_per_out_channel(kernel)
+    k_q, sw = kq_sw if kq_sw is not None else _quantize_per_out_channel(kernel)
     acc = jax.lax.conv_general_dilated(
         x_q, k_q, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -1,0 +1,193 @@
+"""Space-to-depth tail re-layout (ops/s2d.py): exactness pins.
+
+The s2d mode is a pure layout change of the low-channel full-resolution
+fusion tail (docs/performance.md): expanded kernels carry structural
+zeros, so outputs must match the plain path to f32 accumulation order.
+These tests pin (a) each kernel/LN transform against the plain op, and
+(b) the whole BiDirectionalFusion head with the flag on vs off — same
+parameter tree, same outputs.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from patchrefinerv2_tpu.models.blocks.dpt import _conv_same, _layer_norm
+from patchrefinerv2_tpu.ops.s2d import (
+    conv_s2d_down,
+    depth_to_space,
+    layer_norm_s2d,
+    s2d_1x1_kernel,
+    s2d_down_kernel,
+    s2d_same_kernel,
+    space_to_depth,
+    tile_bias,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def test_s2d_roundtrip(rng):
+    x = jnp.asarray(rng.randn(2, 8, 12, 5), jnp.float32)
+    np.testing.assert_array_equal(depth_to_space(space_to_depth(x)), x)
+
+
+def test_same_kernel(rng):
+    x = jnp.asarray(rng.randn(2, 8, 12, 5), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 5, 7), jnp.float32)
+    b = jnp.asarray(rng.randn(7), jnp.float32)
+    ref = _conv_same(x, k, b)
+    got = depth_to_space(
+        _conv_same(space_to_depth(x), s2d_same_kernel(k), tile_bias(b))
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_down_kernel(rng):
+    x = jnp.asarray(rng.randn(2, 8, 12, 5), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 5, 7), jnp.float32)
+    b = jnp.asarray(rng.randn(7), jnp.float32)
+    got = depth_to_space(conv_s2d_down(x, k, b))
+    np.testing.assert_allclose(got, _conv_same(x, k, b), atol=1e-5)
+    assert s2d_down_kernel(k).shape == (4, 4, 5, 28)
+
+
+def test_1x1_kernel(rng):
+    x = jnp.asarray(rng.randn(2, 8, 12, 5), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 1, 5, 7), jnp.float32)
+    b = jnp.asarray(rng.randn(7), jnp.float32)
+    got = depth_to_space(
+        _conv_same(space_to_depth(x), s2d_1x1_kernel(k), tile_bias(b))
+    )
+    np.testing.assert_allclose(got, _conv_same(x, k, b), atol=1e-5)
+
+
+def test_cat_split_kernel(rng):
+    parts = [
+        jnp.asarray(rng.randn(2, 8, 12, c), jnp.float32) for c in (5, 3, 2)
+    ]
+    k = jnp.asarray(rng.randn(3, 3, 10, 7), jnp.float32)
+    ref = _conv_same(jnp.concatenate(parts, -1), k, None)
+    got = depth_to_space(
+        _conv_same(
+            jnp.concatenate([space_to_depth(p) for p in parts], -1),
+            s2d_same_kernel(k, split=(5, 3, 2)),
+            None,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+def test_layer_norm_s2d(rng):
+    x = jnp.asarray(rng.randn(2, 8, 12, 6), jnp.float32)
+    s = jnp.asarray(rng.rand(6) + 0.5, jnp.float32)
+    b = jnp.asarray(rng.randn(6), jnp.float32)
+    got = depth_to_space(layer_norm_s2d(space_to_depth(x), s, b))
+    np.testing.assert_allclose(got, _layer_norm(x, s, b), atol=1e-5)
+
+
+def _bdf_inputs(rng, n=2, hw=32, dtype=jnp.float32):
+    """Synthetic pyramid matching the flagship level relationships
+    (high-res first; c levels pre-aligned to f levels)."""
+    fine_chl = [32, 24, 40, 64, 176, 512]
+    coarse_chl = [32, 256, 256, 256, 256, 256]
+    f_feat, c_feat = [], []
+    for i, (fc, cc) in enumerate(zip(fine_chl, coarse_chl)):
+        r = hw if i == 0 else hw // (2 ** i)
+        f_feat.append(jnp.asarray(rng.randn(n, r, r, fc), dtype))
+        c_feat.append(jnp.asarray(rng.randn(n, r, r, cc), dtype))
+    pred1 = jnp.asarray(rng.rand(n, hw, hw, 1), dtype)
+    pred2 = jnp.asarray(rng.rand(n, hw, hw, 1), dtype)
+    return c_feat, f_feat, pred1, pred2
+
+
+@pytest.mark.parametrize("c2f_type", ["coarse-gated", "coarse-fusion", "self-agg"])
+def test_bidirectional_fusion_s2d_equality(rng, c2f_type):
+    from patchrefinerv2_tpu.models.blocks.fusion import BiDirectionalFusion
+
+    c_feat, f_feat, pred1, pred2 = _bdf_inputs(rng)
+    mod = BiDirectionalFusion(
+        coarse2fine=True,
+        coarse2fine_type=c2f_type,
+        coarse_chl=(32, 256, 256, 256, 256, 256),
+        fine_chl=(24, 40, 64, 176, 512),
+        fine_chl_after_coarse2fine=(32, 256, 256, 256, 256, 256),
+        temp_chl=(32, 64, 64, 128, 256, 512),
+        dec_chl=(512, 256, 128, 64, 32),
+    )
+
+    def run(flag):
+        os.environ["PRV2_S2D"] = flag
+        try:
+            variables = mod.init(
+                jax.random.PRNGKey(0), c_feat, f_feat, pred1, pred2,
+                update_base=pred2,
+            )
+            out = mod.apply(
+                variables, c_feat, f_feat, pred1, pred2, update_base=pred2
+            )
+            paths = {
+                jax.tree_util.keystr(kp)
+                for kp, _ in jax.tree_util.tree_flatten_with_path(
+                    variables["params"]
+                )[0]
+            }
+            return np.asarray(out), paths
+        finally:
+            del os.environ["PRV2_S2D"]
+
+    ref, paths_ref = run("0")
+    got, paths_s2d = run("1")
+    assert paths_ref == paths_s2d  # identical checkpoint tree
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
+def test_bidirectional_fusion_s2d_grads(rng):
+    """The s2d path must stay trainable: gradients wrt params match the
+    plain path (the expanded kernels are linear views of the originals)."""
+    from patchrefinerv2_tpu.models.blocks.fusion import BiDirectionalFusion
+
+    c_feat, f_feat, pred1, pred2 = _bdf_inputs(rng, n=1, hw=32)
+    mod = BiDirectionalFusion(
+        coarse2fine=True,
+        coarse2fine_type="coarse-gated",
+        coarse_chl=(32, 256, 256, 256, 256, 256),
+        fine_chl=(24, 40, 64, 176, 512),
+        fine_chl_after_coarse2fine=(32, 256, 256, 256, 256, 256),
+        temp_chl=(32, 64, 64, 128, 256, 512),
+        dec_chl=(512, 256, 128, 64, 32),
+    )
+
+    def grads(flag):
+        os.environ["PRV2_S2D"] = flag
+        try:
+            variables = mod.init(
+                jax.random.PRNGKey(0), c_feat, f_feat, pred1, pred2,
+                update_base=pred2,
+            )
+
+            def loss(params):
+                out = mod.apply(
+                    {"params": params}, c_feat, f_feat, pred1, pred2,
+                    update_base=pred2,
+                )
+                return jnp.mean(out * out)
+
+            return jax.grad(loss)(variables["params"])
+        finally:
+            del os.environ["PRV2_S2D"]
+
+    g0 = grads("0")
+    g1 = grads("1")
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=5e-3)

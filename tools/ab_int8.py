@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--cai-mode", default="m1")
     ap.add_argument("--process-num", type=int, default=16)
     ap.add_argument("--calib-frames", type=int, default=2)
+    ap.add_argument("--vs-f32", action="store_true",
+                    help="also run the f32 program and report every mode's "
+                         "error against IT (contextualizes the bf16 default: "
+                         "if bf16 itself exceeds the 1e-3 bar vs f32, int8's "
+                         "delta is measured against an already-lossy mode)")
     args = ap.parse_args()
 
     # keep flag state out of the traced graphs except the ones we toggle
@@ -46,23 +51,29 @@ def main():
 
     model = MODELS.build(dict(type="PatchRefinerPlus", config=flagship_config()))
     variables = model.init(jax.random.PRNGKey(0))
+    model_f32 = None
+    if args.vs_f32:
+        cfg = flagship_config()
+        cfg["infer_dtype"] = "float32"
+        model_f32 = MODELS.build(dict(type="PatchRefinerPlus", config=cfg))
 
     rng = np.random.RandomState(0)
     image_lr = jnp.asarray(rng.rand(1, 384, 512, 3), jnp.float32)
     image_hr = jnp.asarray(rng.rand(1, 2160, 3840, 3), jnp.float32)
     seed = jax.random.PRNGKey(0)
 
-    def run(v):
-        type(model)._jitted_infer.cache_clear()  # PRV2_* binds at trace
-        d, _ = model.infer(
+    def run(v, m=None):
+        m = m or model
+        type(m)._jitted_infer.cache_clear()  # PRV2_* binds at trace
+        d, _ = m.infer(
             v, image_lr, image_hr,
             cai_mode=args.cai_mode, process_num=args.process_num, seed=seed,
         )
         return np.asarray(jax.device_get(d), np.float64)
 
-    def report(tag, d, ref):
+    def report(tag, d, ref, ref_tag="bf16"):
         rel = np.abs(d - ref) / np.maximum(np.abs(ref), 1e-6)
-        print(f"{tag:14s} rel err vs bf16: mean={rel.mean():.2e} "
+        print(f"{tag:14s} rel err vs {ref_tag}: mean={rel.mean():.2e} "
               f"p50={np.percentile(rel, 50):.2e} "
               f"p99={np.percentile(rel, 99):.2e} max={rel.max():.2e}  "
               f">1e-3: {(rel > 1e-3).mean()*100:.1f}%  "
@@ -71,8 +82,16 @@ def main():
     d_bf16 = run(variables)
     print(f"cai_mode={args.cai_mode} depth shape={d_bf16.shape}")
 
+    d_f32 = None
+    if model_f32 is not None:
+        d_f32 = run(variables, model_f32)
+        report("bf16", d_bf16, d_f32, "f32")
+
     os.environ["PRV2_INT8"] = "1"
-    report("int8[dynamic]", run(variables), d_bf16)
+    d_dyn = run(variables)
+    report("int8[dynamic]", d_dyn, d_bf16)
+    if d_f32 is not None:
+        report("int8[dynamic]", d_dyn, d_f32, "f32")
     del os.environ["PRV2_INT8"]
 
     # calibrate on DIFFERENT random frames than the measured one (the
@@ -87,7 +106,10 @@ def main():
     cal_vars = model.calibrate_int8(variables, cal_frames,
                                     process_num=args.process_num)
     os.environ["PRV2_INT8"] = "1"
-    report("int8[static]", run(cal_vars), d_bf16)
+    d_st = run(cal_vars)
+    report("int8[static]", d_st, d_bf16)
+    if d_f32 is not None:
+        report("int8[static]", d_st, d_f32, "f32")
     del os.environ["PRV2_INT8"]
 
 
