@@ -284,12 +284,22 @@ class C2FModule(nn.Module):
 
     coarse_features: list of 6, index 0 = highest-res (32ch midas_final level),
     1..5 = deeper levels; fine_features: 5 encoder levels high->low res.
+
+    ``s2d_tail``: explicit caller opt-in to return the full-resolution
+    head (feats[5] = last_feat) in space-to-depth layout (ops/s2d.py).
+    Only BiDirectionalFusion's standard variant sets it — it owns the
+    matching s2d consumers; every other caller (Heavy, direct use, the
+    distillation/vis feature contract pinned by
+    tests/test_c2f_torch_parity.py) gets the plain layout. The caller
+    detects actual engagement from the returned last_feat shape
+    (half-res => s2d), which also covers the odd-size fallback below.
     """
 
     features: int = 256
     head2_features: int = 32  # == coarse_chl[0]
     gate: bool = True
     fusion: bool = True
+    s2d_tail: bool = False
 
     @nn.compact
     def __call__(self, fine_features, coarse_features):
@@ -318,11 +328,11 @@ class C2FModule(nn.Module):
 
         from patchrefinerv2_tpu.ops import s2d as s2d_ops
 
-        if s2d_ops.s2d_enabled() and out.shape[1] % 2 == 0 and out.shape[2] % 2 == 0:
+        if self.s2d_tail and out.shape[1] % 2 == 0 and out.shape[2] % 2 == 0:
             # full-resolution C<=32 head in space-to-depth form (exact;
             # ops/s2d.py header). Param tree identical to the plain path;
-            # last_feat is RETURNED in s2d form — BiDirectionalFusion
-            # checks the same trace-time flag and consumes it as such.
+            # last_feat is RETURNED in s2d form — only reached when the
+            # caller opted in via s2d_tail and owns matching consumers.
             k2, b2 = _ConvParams(
                 (3, 3, out.shape[-1], self.head2_features), name="output_conv2"
             )()

@@ -153,17 +153,22 @@ class BiDirectionalFusion(nn.Module):
                 f_feat[i] = jnp.concatenate([f_feat[i], fine_update], axis=-1)
 
         # full-resolution C=32 tail in space-to-depth form (exact layout
-        # change, ops/s2d.py): C2FModule returns last_feat (= f_feat[0])
-        # in s2d form under the same trace-time flag; the fusion1_0/
-        # fusion2_0 convs consume it as such and only the f2r_agg_4 input
-        # converts back. Same parameters, 4x lane occupancy.
+        # change, ops/s2d.py): this variant opts in via C2FModule's
+        # explicit ``s2d_tail`` and owns the matching consumers — the
+        # fusion1_0/fusion2_0 convs read last_feat (= f_feat[0]) in s2d
+        # form and only the f2r_agg_4 input converts back. Same
+        # parameters, 4x lane occupancy. Engagement is re-derived from
+        # the RETURNED last_feat shape (half the resolution of pred2)
+        # so C2F's odd-size fallback can never desynchronize the two
+        # sides (ADVICE r3, medium).
         from patchrefinerv2_tpu.ops import s2d as s2d_ops
 
-        tail_s2d = (
+        want_s2d = (
             s2d_ops.s2d_enabled()
             and self.coarse2fine
             and self.coarse2fine_type != "only-gate"
         )
+        tail_s2d = False
 
         if self.coarse2fine:
             fine5 = f_feat[1:]  # drop duplicated top level
@@ -179,10 +184,14 @@ class BiDirectionalFusion(nn.Module):
                     head2_features=self.coarse_chl[0],
                     gate=gate,
                     fusion=fusion,
+                    s2d_tail=want_s2d,
                     name="c2f",
                 )(fine5, c_feat)
             f_feat = c2f_feats[::-1]  # high-res first
             pred2 = out_depth
+            tail_s2d = want_s2d and (
+                f_feat[0].shape[1] == out_depth.shape[1] // 2
+            )
 
         temp_feats = []
         for idx, (c, f) in enumerate(zip(c_feat, f_feat)):

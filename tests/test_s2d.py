@@ -108,12 +108,28 @@ def _bdf_inputs(rng, n=2, hw=32, dtype=jnp.float32):
     return c_feat, f_feat, pred1, pred2
 
 
-@pytest.mark.parametrize("c2f_type", ["coarse-gated", "coarse-fusion", "self-agg"])
-def test_bidirectional_fusion_s2d_equality(rng, c2f_type):
-    from patchrefinerv2_tpu.models.blocks.fusion import BiDirectionalFusion
+@pytest.mark.parametrize(
+    "c2f_type,variant",
+    [
+        ("coarse-gated", "standard"),
+        ("coarse-fusion", "standard"),
+        ("self-agg", "standard"),
+        ("only-gate", "standard"),
+        # r3 regression class: variants that do NOT own s2d consumers must
+        # keep the plain C2F layout at default flags (VERDICT r3 #1)
+        ("coarse-gated", "heavy"),
+        ("coarse-gated", "glb_att"),
+    ],
+)
+def test_bidirectional_fusion_s2d_equality(rng, c2f_type, variant):
+    from patchrefinerv2_tpu.models.blocks.fusion import (
+        BiDirectionalFusion, BiDirectionalFusionHeavy,
+    )
 
     c_feat, f_feat, pred1, pred2 = _bdf_inputs(rng)
-    mod = BiDirectionalFusion(
+    cls = BiDirectionalFusionHeavy if variant == "heavy" else BiDirectionalFusion
+    att_dim = 16
+    mod = cls(
         coarse2fine=True,
         coarse2fine_type=c2f_type,
         coarse_chl=(32, 256, 256, 256, 256, 256),
@@ -121,17 +137,28 @@ def test_bidirectional_fusion_s2d_equality(rng, c2f_type):
         fine_chl_after_coarse2fine=(32, 256, 256, 256, 256, 256),
         temp_chl=(32, 64, 64, 128, 256, 512),
         dec_chl=(512, 256, 128, 64, 32),
+        glb_att=(variant == "glb_att"),
+        att_dim=att_dim,
+        select_feat_index=(-1,),
     )
+    kwargs = dict(update_base=pred2, return_feat=True)
+    if variant == "glb_att":
+        # pe lists indexed as pe_list[::-1][i]; supply one per level with
+        # the att projection width and matching spatial dims
+        kwargs["pe_list"] = [
+            jnp.asarray(rng.randn(*c.shape[:3], att_dim), jnp.float32)
+            for c in c_feat
+        ][::-1]
+        kwargs["pe_patch_list"] = kwargs["pe_list"]
 
     def run(flag):
         os.environ["PRV2_S2D"] = flag
         try:
             variables = mod.init(
-                jax.random.PRNGKey(0), c_feat, f_feat, pred1, pred2,
-                update_base=pred2,
+                jax.random.PRNGKey(0), c_feat, f_feat, pred1, pred2, **kwargs
             )
-            out = mod.apply(
-                variables, c_feat, f_feat, pred1, pred2, update_base=pred2
+            out, feat = mod.apply(
+                variables, c_feat, f_feat, pred1, pred2, **kwargs
             )
             paths = {
                 jax.tree_util.keystr(kp)
@@ -139,14 +166,36 @@ def test_bidirectional_fusion_s2d_equality(rng, c2f_type):
                     variables["params"]
                 )[0]
             }
-            return np.asarray(out), paths
+            return np.asarray(out), np.asarray(feat), paths
         finally:
             del os.environ["PRV2_S2D"]
 
-    ref, paths_ref = run("0")
-    got, paths_s2d = run("1")
+    ref, feat_ref, paths_ref = run("0")
+    got, feat_s2d, paths_s2d = run("1")
     assert paths_ref == paths_s2d  # identical checkpoint tree
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+    # the return_feat contract (distillation hook point) stays in the
+    # plain layout regardless of the flag
+    assert feat_s2d.shape == feat_ref.shape
+    np.testing.assert_allclose(feat_s2d, feat_ref, atol=2e-4, rtol=1e-4)
+
+
+def test_c2f_module_plain_contract_at_default_flags(rng):
+    """C2FModule called WITHOUT the s2d_tail opt-in must return every feat
+    (incl. feats[5] = last_feat) in the plain layout even when PRV2_S2D=1
+    — the contract broken in r3 (VERDICT r3 weak #2)."""
+    from patchrefinerv2_tpu.models.blocks.dpt import C2FModule
+
+    c_feat, f_feat, pred1, pred2 = _bdf_inputs(rng, n=1, hw=32)
+    mod = C2FModule(features=16, head2_features=32, gate=True, fusion=True)
+    os.environ["PRV2_S2D"] = "1"
+    try:
+        variables = mod.init(jax.random.PRNGKey(0), f_feat[1:], c_feat)
+        feats, out = mod.apply(variables, f_feat[1:], c_feat)
+    finally:
+        del os.environ["PRV2_S2D"]
+    assert feats[5].shape[1:3] == out.shape[1:3]  # full-res, not s2d
+    assert feats[5].shape[-1] == 32
 
 
 def test_bidirectional_fusion_s2d_grads(rng):
