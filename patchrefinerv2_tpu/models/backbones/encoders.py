@@ -9,8 +9,14 @@ instantiates via ``timm.create_model(..., features_only=True)``
   reductions 2/4/8/16/32 with channels [24, 40, 64, 176, 512]
   (== configs/patchrefinerv2_zoedepth/v2_eff_u4k.py fine_chl).
 * ``mobilenetv3_large_100`` — taps [16, 24, 40, 112, 960].
-* ``mobilenetv4_conv_small/medium/large`` and ``convnextv2_large`` follow in
-  a later milestone; the registry raises a clear error meanwhile.
+* ``mobilenetv4_conv_small/medium/large`` — UIB blocks (extra-depthwise /
+  inverted-residual / conv-next-like), taps per timm.
+* ``convnext_large`` / ``convnextv2_large`` — ConvNeXt stages (v2 swaps
+  LayerScale for GRN), taps [192, 384, 768, 1536] + stem.
+
+All of the above are implemented below and converter-pinned against the
+torch reference (tests/test_encoder_torch_parity.py,
+tests/test_mnv4_torch_parity.py, tests/test_convert_timm.py).
 
 Each encoder takes NHWC input (3 or 4 channels — the 4th is the coarse
 depth condition; the reference patches the pretrained stem to 4 channels,

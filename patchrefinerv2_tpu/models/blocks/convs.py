@@ -120,10 +120,22 @@ class DoubleConv(nn.Module):
     Params are declared explicitly (same tree as the nn.Conv pair:
     Conv_0/Conv_1, kernel only) so the convs can dispatch to the dynamic-
     int8 path (ops/quant.py, opt-in PRV2_INT8) without forking the
-    checkpoint layout — the same pattern as GatedConvUnit."""
+    checkpoint layout — the same pattern as GatedConvUnit.
+
+    ``s2d_out``: emit the SECOND conv in space-to-depth-down form
+    (ops/s2d.py ``conv_s2d_down``) so the output lands directly in s2d
+    layout — exact, same param tree. Only worthwhile for the full-
+    resolution low-C tail instance (f2r_agg_4: Cout=32 pads to a quarter
+    tile in plain layout; the (4,4) down kernel is also 2.25x fewer
+    padded FLOPs than the plain 3x3 there). The FIRST conv stays plain:
+    at mid~98 channels an s2d expansion would quadruple padded FLOPs
+    with no occupancy gain. The s2d branch bypasses the int8 dispatch by
+    design (s2d sites are exempt from quantization — see ops/quant.py
+    "s2d interaction")."""
 
     features: int
     mid_features: int | None = None
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -136,7 +148,13 @@ class DoubleConv(nn.Module):
         k1, _ = _ConvParams((3, 3, mid, self.features), use_bias=False,
                             name="Conv_1")()
         conv = conv_dispatch(self, x.dtype, _conv_same)
-        return gelu(conv(gelu(conv(x, k0, None)), k1, None))
+        h = gelu(conv(x, k0, None))
+        if self.s2d_out:
+            from patchrefinerv2_tpu.ops import s2d as s2d_ops
+
+            assert h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0, h.shape
+            return gelu(s2d_ops.conv_s2d_down(h, k1, None))
+        return gelu(conv(h, k1, None))
 
 
 class DoubleResConv(nn.Module):

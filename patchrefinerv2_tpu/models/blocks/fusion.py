@@ -33,10 +33,16 @@ def _interp(x, size):
 
 
 class UpSample(nn.Module):
-    """Upscale-concat-DoubleConv decoder stage (fusion_model.py:7-35)."""
+    """Upscale-concat-DoubleConv decoder stage (fusion_model.py:7-35).
+
+    ``s2d_out``: return the stage output in space-to-depth layout (the
+    DoubleConv's second conv runs in s2d-down form — exact; see
+    DoubleConv). Used only for the final full-resolution stage by a
+    caller that owns matching s2d consumers."""
 
     out_ch: int
     mid_ch: int
+    s2d_out: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, pred1, pred2):
@@ -45,7 +51,7 @@ class UpSample(nn.Module):
         pred1 = _interp(pred1, size)
         pred2 = _interp(pred2, size)
         x = jnp.concatenate([x1, x2, pred1, pred2], axis=-1)
-        return DoubleConv(self.out_ch, self.mid_ch)(x)
+        return DoubleConv(self.out_ch, self.mid_ch, s2d_out=self.s2d_out)(x)
 
 
 @MODELS.register_module()
@@ -224,19 +230,40 @@ class BiDirectionalFusion(nn.Module):
         cur = rev[0]
         mids = list(self.temp_chl)[::-1]
         in_mid = mids[0]
+        last = len(self.dec_chl) - 1
+        cur_s2d = False
         for idx in range(len(self.dec_chl)):
             feat, dec_c = rev[1 + idx], self.dec_chl[idx]
             mid = mids[idx + 1] + in_mid + 2
-            cur = UpSample(dec_c, mid, name=f"f2r_agg_{idx}")(cur, feat, pred1, pred2)
+            # final full-res stage: emit in s2d layout so final_conv (the
+            # only consumer) reads full lane tiles — skipped when the
+            # caller needs the plain-layout distillation feature
+            # (return_feat) or the full-res dims are odd
+            stage_s2d = (
+                idx == last
+                and s2d_ops.s2d_enabled()
+                and not return_feat
+                and feat.shape[1] % 2 == 0
+                and feat.shape[2] % 2 == 0
+            )
+            cur = UpSample(dec_c, mid, s2d_out=stage_s2d,
+                           name=f"f2r_agg_{idx}")(cur, feat, pred1, pred2)
             in_mid = dec_c
+            cur_s2d = stage_s2d
 
-        if (s2d_ops.s2d_enabled()
+        # Cout=1 3x3 convs run ~10x below HBM peak (lane tiles are
+        # 128-wide); running final_conv in s2d form emits the 4 phase
+        # groups as 4 output channels instead — exact (ops/s2d.py)
+        from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams, _conv_same
+
+        if cur_s2d:
+            kf, _ = _ConvParams((3, 3, cur.shape[-1] // 4, 1), use_bias=False,
+                                name="final_conv")()
+            offset = s2d_ops.depth_to_space(
+                _conv_same(cur, s2d_ops.s2d_same_kernel(kf), None)
+            )
+        elif (s2d_ops.s2d_enabled()
                 and cur.shape[1] % 2 == 0 and cur.shape[2] % 2 == 0):
-            # Cout=1 3x3 convs run ~10x below HBM peak (lane tiles are
-            # 128-wide); the stride-2 s2d-down form emits the 4 phase
-            # groups as 4 output channels instead — exact (ops/s2d.py)
-            from patchrefinerv2_tpu.models.blocks.dpt import _ConvParams
-
             kf, _ = _ConvParams((3, 3, cur.shape[-1], 1), use_bias=False,
                                 name="final_conv")()
             offset = s2d_ops.depth_to_space(s2d_ops.conv_s2d_down(cur, kf, None))

@@ -180,6 +180,55 @@ def test_bidirectional_fusion_s2d_equality(rng, c2f_type, variant):
     np.testing.assert_allclose(feat_s2d, feat_ref, atol=2e-4, rtol=1e-4)
 
 
+def test_bidirectional_fusion_s2d_equality_no_feat(rng):
+    """Default inference path (return_feat=False): the final f2r_agg stage
+    emits in s2d form and final_conv consumes it (UpSample/DoubleConv
+    ``s2d_out``) — output must match the plain path exactly."""
+    from patchrefinerv2_tpu.models.blocks.fusion import BiDirectionalFusion
+
+    c_feat, f_feat, pred1, pred2 = _bdf_inputs(rng)
+    mod = BiDirectionalFusion(
+        coarse2fine=True,
+        coarse2fine_type="coarse-gated",
+        coarse_chl=(32, 256, 256, 256, 256, 256),
+        fine_chl=(24, 40, 64, 176, 512),
+        fine_chl_after_coarse2fine=(32, 256, 256, 256, 256, 256),
+        temp_chl=(32, 64, 64, 128, 256, 512),
+        dec_chl=(512, 256, 128, 64, 32),
+    )
+
+    def run(flag):
+        os.environ["PRV2_S2D"] = flag
+        try:
+            variables = mod.init(
+                jax.random.PRNGKey(0), c_feat, f_feat, pred1, pred2,
+                update_base=pred2,
+            )
+            out = mod.apply(variables, c_feat, f_feat, pred1, pred2,
+                            update_base=pred2)
+            paths = {
+                jax.tree_util.keystr(kp)
+                for kp, _ in jax.tree_util.tree_flatten_with_path(
+                    variables["params"]
+                )[0]
+            }
+            shapes = {
+                jax.tree_util.keystr(kp): v.shape
+                for kp, v in jax.tree_util.tree_flatten_with_path(
+                    variables["params"]
+                )[0]
+            }
+            return np.asarray(out), paths, shapes
+        finally:
+            del os.environ["PRV2_S2D"]
+
+    ref, paths_ref, shapes_ref = run("0")
+    got, paths_s2d, shapes_s2d = run("1")
+    assert paths_ref == paths_s2d
+    assert shapes_ref == shapes_s2d  # same checkpoint tree AND shapes
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
 def test_c2f_module_plain_contract_at_default_flags(rng):
     """C2FModule called WITHOUT the s2d_tail opt-in must return every feat
     (incl. feats[5] = last_feat) in the plain layout even when PRV2_S2D=1
