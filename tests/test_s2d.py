@@ -229,6 +229,48 @@ def test_bidirectional_fusion_s2d_equality_no_feat(rng):
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
 
 
+def test_bidirectional_fusion_s2d_odd_size_fallback(rng):
+    """Odd full-resolution dims (reachable with coarse2fine=False, where
+    f_feat[0] keeps the raw encoder resolution): every s2d site must fall
+    back to the plain layout instead of crashing at trace time, and the
+    output must match the s2d-off program (ADVICE r3 medium)."""
+    from patchrefinerv2_tpu.models.blocks.fusion import BiDirectionalFusion
+
+    c_feat, f_feat, pred1, pred2 = _bdf_inputs(rng)
+    # make level 0 odd-sized (33x33)
+    c_feat[0] = jnp.asarray(np.random.RandomState(1).randn(2, 33, 33, 32),
+                            jnp.float32)
+    f_feat[0] = jnp.asarray(np.random.RandomState(2).randn(2, 33, 33, 32),
+                            jnp.float32)
+    pred1 = jnp.asarray(np.random.RandomState(3).rand(2, 33, 33, 1), jnp.float32)
+    pred2 = jnp.asarray(np.random.RandomState(4).rand(2, 33, 33, 1), jnp.float32)
+    mod = BiDirectionalFusion(
+        coarse2fine=False,
+        coarse_chl=(32, 256, 256, 256, 256, 256),
+        fine_chl=(24, 40, 64, 176, 512),
+        fine_chl_after_coarse2fine=(32, 24, 40, 64, 176, 512),
+        temp_chl=(32, 64, 64, 128, 256, 512),
+        dec_chl=(512, 256, 128, 64, 32),
+    )
+
+    def run(flag):
+        os.environ["PRV2_S2D"] = flag
+        try:
+            variables = mod.init(
+                jax.random.PRNGKey(0), c_feat, f_feat, pred1, pred2,
+                update_base=pred2,
+            )
+            out = mod.apply(variables, c_feat, f_feat, pred1, pred2,
+                            update_base=pred2)
+            return np.asarray(out)
+        finally:
+            del os.environ["PRV2_S2D"]
+
+    ref = run("0")
+    got = run("1")
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-4)
+
+
 def test_c2f_module_plain_contract_at_default_flags(rng):
     """C2FModule called WITHOUT the s2d_tail opt-in must return every feat
     (incl. feats[5] = last_feat) in the plain layout even when PRV2_S2D=1
