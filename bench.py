@@ -146,6 +146,14 @@ def main():
         os.environ["PRV2_INT8"] = "1"
     else:
         os.environ.pop("PRV2_INT8", None)
+    # BENCH_INT8=perchan: static calibration + per-input-channel
+    # activation scales folded into the weight grid (ops/quant.py)
+    int8_label = int8_mode if int8_mode != "1" else "dynamic"
+    if int8_mode == "perchan":
+        os.environ["PRV2_INT8_PERCHAN"] = "1"
+        int8_mode = "static"
+    else:
+        os.environ.pop("PRV2_INT8_PERCHAN", None)
     # bounded backend probe first (claims + releases the exclusive
     # tunneled chip in a subprocess), then the in-process claim
     _wait_for_backend()
@@ -243,8 +251,7 @@ def main():
         json.dumps(
             {
                 "metric": f"4K frames/sec/chip, 4x4 split, {cai_mode}"
-                + (f"+int8[{'static' if int8_mode == 'static' else 'dynamic'}]"
-                   if int8 else ""),
+                + (f"+int8[{int8_label}]" if int8 else ""),
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 5.0, 4),

@@ -780,13 +780,15 @@ class PatchRefinerPlus:
         def _calib_chunk(v, imgs, coarse_pred, coarse_feats, bboxes):
             _, stats = net.apply(
                 v, imgs, coarse_pred, coarse_feats, bboxes,
-                method=type(net).infer_chunk, mutable=["quant_stats"],
+                method=type(net).infer_chunk,
+                mutable=["quant_stats", "quant_kq"],
             )
-            return stats["quant_stats"]
+            return stats["quant_stats"], stats["quant_kq"]
 
         os.environ["PRV2_INT8_CALIB"] = "1"
         try:
             stats_trees = []
+            last_inputs = None
             for image_lr, image_hr in images:
                 coarse_feats, coarse_pred = _coarse(cast_vars, image_lr)
                 hr = image_hr[0]
@@ -799,18 +801,41 @@ class PatchRefinerPlus:
                         s_raw = jnp.asarray(p.starts_raw[lo:lo + process_num])
                         bboxes = jnp.asarray(p.bboxes[lo:lo + process_num])
                         imgs = crop_resize_patches(hr, s_raw, (prh, prw), in_shape)
-                        stats_trees.append(
-                            _calib_chunk(cast_vars, imgs, coarse_pred,
-                                         coarse_feats, bboxes)
+                        stats, _ = _calib_chunk(
+                            cast_vars, imgs, coarse_pred, coarse_feats, bboxes
                         )
+                        stats_trees.append(stats)
+                        last_inputs = (imgs, coarse_pred, coarse_feats, bboxes)
+
+            from patchrefinerv2_tpu.ops.quant import scales_from_stats
+
+            scales = jax.tree_util.tree_map(
+                lambda a: jnp.asarray(a, jnp.float32),
+                jax.device_get(scales_from_stats(stats_trees)),
+            )
+            # finalize pass: with the FOLDED scales injected, each site
+            # pre-quantizes its serving-dtype kernel — including the
+            # perchan-folded variant (ops/quant.py ``kqc``/``swc``), which
+            # needs the final per-channel activation scales. Weights are
+            # input-independent, so one chunk suffices.
+            _, kq_tree = _calib_chunk(
+                {**cast_vars, "quant_scales": scales}, *last_inputs
+            )
         finally:
             os.environ.pop("PRV2_INT8_CALIB", None)
 
-        from patchrefinerv2_tpu.ops.quant import scales_from_stats
-
-        scales = jax.device_get(scales_from_stats(stats_trees))
-        return dict(variables, quant_scales=jax.tree_util.tree_map(
-            lambda a: jnp.asarray(a, jnp.float32), scales))
+        # quant_kq: pre-quantized (int8 kernel, per-out-channel scale)
+        # snapshots of the serving-dtype params. Serving reads them as
+        # variables instead of re-quantizing weights inside the
+        # patch-chunk scan. Re-run calibrate_int8 after any weight update.
+        # NOTE: must stay DEVICE arrays — numpy leaves here would be
+        # re-uploaded through the host tunnel on every infer call
+        # (measured -82% end-to-end when this returned device_get'd trees).
+        return dict(
+            variables,
+            quant_scales=scales,
+            quant_kq=kq_tree,
+        )
 
     def _train_cast(self, variables, *arrays):
         """Mixed-precision training cast (config key ``train_dtype``): the
@@ -840,11 +865,22 @@ class PatchRefinerPlus:
         cache = getattr(self, "_cast_cache", None)
         if cache is not None and cache[0] is variables:
             return cache[1]
-        cast = jax.tree_util.tree_map(
-            lambda a: a.astype(self.infer_dtype)
-            if hasattr(a, "dtype") and a.dtype == jnp.float32
-            else a,
-            variables,
-        )
+        # quant_* collections stay in their calibrated dtypes: the f32
+        # activation scales are scalars (no traffic win from bf16, only
+        # dequant-grid precision loss) and the int8 kernels must not be
+        # touched
+        cast = {
+            coll: (
+                tree
+                if coll.startswith("quant_")
+                else jax.tree_util.tree_map(
+                    lambda a: a.astype(self.infer_dtype)
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32
+                    else a,
+                    tree,
+                )
+            )
+            for coll, tree in variables.items()
+        }
         self._cast_cache = (variables, cast)
         return cast

@@ -18,6 +18,19 @@ int8 conv core:
   the producer epilogue (round/clip/scale, no reduction) and the conv
   runs at the microbenched ~1.9x MXU rate. Standard post-training
   quantization; `tools/calibrate_int8.py` is the driver.
+* **static + perchan** (``PRV2_INT8_PERCHAN=1``, set for BOTH calibration
+  and serving): activations quantize against per-INPUT-channel calibrated
+  abs-max, with those scales folded into the weight quantization
+  (``_fold_act_scales``) so the runtime cost is identical to per-tensor
+  static (a broadcast instead of scalar multiply in the producer
+  epilogue; dequant unchanged). Tighter grid wherever channel ranges are
+  uneven — the accuracy-refinement mode of VERDICT r3 #8.
+
+Calibration also snapshots pre-quantized weights into a ``quant_kq``
+collection (plain ``kq``/``sw`` during stats passes; the perchan-folded
+``kqc``/``swc`` in the finalize pass once folded scales exist): serving
+reads int8 kernels as variables instead of re-quantizing weights inside
+the patch-chunk scan (half the weight HBM traffic, no per-step round).
 
 Weights are symmetric per-output-channel int8 in both modes (scales from
 the live params at trace time); accumulation is int32 on the MXU,
@@ -41,7 +54,9 @@ import jax.numpy as jnp
 __all__ = [
     "int8_enabled",
     "calib_enabled",
+    "perchan_enabled",
     "quant_conv_same",
+    "quant_conv_same_perchan",
     "conv_dispatch",
     "scales_from_stats",
 ]
@@ -88,6 +103,27 @@ def _quantize_per_out_channel(k):
     return k_q.astype(jnp.int8), scale
 
 
+def perchan_enabled() -> bool:
+    """Per-input-channel activation scales for the static int8 mode
+    (``PRV2_INT8_PERCHAN=1``). Must be set consistently for BOTH the
+    calibration pass and serving: calibration folds the per-channel
+    activation scales INTO the quantized weights (``kqc`` entries), so a
+    perchan-serving trace reads a different weight grid than per-tensor.
+    Zero runtime cost vs per-tensor: the activation quantize is the same
+    round/clip with a broadcast (instead of scalar) multiply, and the
+    dequant stays per-output-channel."""
+    return os.environ.get("PRV2_INT8_PERCHAN", "") not in ("", "0", "false")
+
+
+def _fold_act_scales(kernel, amax_c):
+    """Fold per-input-channel activation scales into an HWIO kernel:
+    ``conv(x, k) == conv(round(x / sx[c]), k * sx[c])`` exactly (given the
+    quantization), so quantizing the FOLDED kernel per-output-channel
+    keeps the whole dequant a per-cout multiply."""
+    sx = jnp.maximum(amax_c.astype(jnp.float32), 1e-8) / 127.0
+    return kernel.astype(jnp.float32) * sx[None, None, :, None], sx
+
+
 def quant_conv_same(x, kernel, bias, x_amax=None, kq_sw=None):
     """SAME conv computed on the int8 MXU path, matching the f32/_conv_same
     result up to int8 rounding (~1e-2 rel). Output dtype follows x.
@@ -110,6 +146,35 @@ def quant_conv_same(x, kernel, bias, x_amax=None, kq_sw=None):
     return y.astype(out_dtype)
 
 
+def quant_conv_same_perchan(x, kernel, bias, x_amax_c, kqc_sw=None):
+    """Per-input-channel static int8 conv: activations quantize against a
+    calibrated PER-CHANNEL abs-max (``x_amax_c`` shape (cin,)), with the
+    matching scales folded into the weight quantization
+    (:func:`_fold_act_scales`) so the dequant is still one per-cout
+    multiply. Tighter grid than per-tensor wherever channel ranges are
+    uneven (post-LN/GELU decoder activations). ``kqc_sw``: the folded
+    pre-quantized pair captured at calibration (``quant_kq`` entries
+    ``kqc``/``swc``); None folds+quantizes in-graph."""
+    out_dtype = x.dtype
+    sx = jnp.maximum(x_amax_c.astype(jnp.float32), 1e-8) / 127.0
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127)
+    x_q = x_q.astype(jnp.int8)
+    if kqc_sw is None:
+        folded, _ = _fold_act_scales(kernel, x_amax_c)
+        k_q, sw = _quantize_per_out_channel(folded)
+    else:
+        k_q, sw = kqc_sw
+    acc = jax.lax.conv_general_dilated(
+        x_q, k_q, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sw
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def conv_dispatch(mdl, dtype, fallback):
     """Per-module quant-aware conv dispatcher.
 
@@ -121,10 +186,25 @@ def conv_dispatch(mdl, dtype, fallback):
 
     * initialization / flags off -> ``fallback`` (the exact conv);
     * ``PRV2_INT8_CALIB=1``      -> exact conv + sow the activation
-      abs-max into ``quant_stats`` (requires ``mutable=['quant_stats']``);
+      abs-max into ``quant_stats`` AND the pre-quantized weight pair
+      (int8 kernel, per-channel scale) into ``quant_kq`` (requires
+      ``mutable=['quant_stats', 'quant_kq']``);
     * ``PRV2_INT8=1`` + a ``quant_scales`` entry for the site -> static-
-      scale int8 (no reduction);
+      scale int8 (no reduction); with a ``quant_kq`` entry the in-graph
+      weight round/clip is skipped entirely (the int8 kernel is served
+      as a variable — half the weight HBM traffic and no re-quantization
+      inside the patch-chunk ``lax.scan``);
     * ``PRV2_INT8=1`` otherwise  -> dynamic int8 (abs-max per input).
+
+    ``quant_kq`` entries are snapshots of the params at calibration time:
+    re-run ``calibrate_int8`` after any weight update.
+
+    s2d interaction: s2d-form conv sites (ops/s2d.py expanded kernels)
+    intentionally bypass this dispatcher — their lane-packing already
+    flips them compute-dense, the expanded kernels carry structural
+    zeros that would waste int8 grid range, and the only s2d sites are
+    the depth-adjacent full-resolution tail convs, which the accuracy
+    policy excludes from quantization anyway (docs/performance.md).
     """
     if mdl.is_initializing():
         return fallback
@@ -145,22 +225,58 @@ def conv_dispatch(mdl, dtype, fallback):
         kh, kw, _, cout = kernel.shape
         if kh * kw * cout < min_kc and not calib:
             return fallback(x, kernel, bias)
+        cname = f"qc_{name}"
         if calib:
-            amax = jax.lax.stop_gradient(
-                jnp.max(jnp.abs(x.astype(jnp.float32)))
-            )
+            xf = jnp.abs(jax.lax.stop_gradient(x).astype(jnp.float32))
             mdl.sow(
-                "quant_stats", name, amax,
+                "quant_stats", name, jnp.max(xf),
                 init_fn=lambda: jnp.zeros((), jnp.float32),
                 reduce_fn=jnp.maximum,
             )
+            # per-input-channel abs-max (perchan static mode)
+            cin = x.shape[-1]
+            mdl.sow(
+                "quant_stats", cname, jnp.max(xf, axis=tuple(range(x.ndim - 1))),
+                init_fn=lambda: jnp.zeros((cin,), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+            k_sg = jax.lax.stop_gradient(kernel)
+            k_q, sw = _quantize_per_out_channel(k_sg)
+            entry = {"kq": k_q, "sw": sw}
+            if mdl.has_variable("quant_scales", cname):
+                # finalize pass (folded scales already injected): also
+                # pre-quantize the perchan-folded kernel
+                folded, _ = _fold_act_scales(
+                    k_sg, mdl.get_variable("quant_scales", cname)
+                )
+                kqc, swc = _quantize_per_out_channel(folded)
+                entry.update(kqc=kqc, swc=swc)
+            mdl.sow(
+                "quant_kq", name, entry,
+                init_fn=lambda: 0,
+                reduce_fn=lambda _old, new: new,  # weights are static
+            )
             return fallback(x, kernel, bias)
+        entry = (
+            mdl.get_variable("quant_kq", name)
+            if mdl.has_variable("quant_kq", name)
+            else {}
+        )
+        if perchan_enabled() and mdl.has_variable("quant_scales", cname):
+            kqc_sw = (
+                (entry["kqc"], entry["swc"]) if "kqc" in entry else None
+            )
+            return quant_conv_same_perchan(
+                x, kernel, bias,
+                mdl.get_variable("quant_scales", cname), kqc_sw=kqc_sw,
+            )
         x_amax = (
             mdl.get_variable("quant_scales", name)
             if mdl.has_variable("quant_scales", name)
             else None
         )
-        return quant_conv_same(x, kernel, bias, x_amax=x_amax)
+        kq_sw = (entry["kq"], entry["sw"]) if "kq" in entry else None
+        return quant_conv_same(x, kernel, bias, x_amax=x_amax, kq_sw=kq_sw)
 
     return conv
 

@@ -106,6 +106,11 @@ def test_int8_infer_close_to_f32(monkeypatch):
                                     process_num=2)
     assert "quant_scales" in cal_vars
     assert len(jax.tree_util.tree_leaves(cal_vars["quant_scales"])) > 0
+    assert "quant_kq" in cal_vars  # pre-quantized weights served as vars
+    assert any(
+        getattr(l, "dtype", None) == jnp.int8
+        for l in jax.tree_util.tree_leaves(cal_vars["quant_kq"])
+    )
     monkeypatch.setenv("PRV2_INT8", "1")
     monkeypatch.setenv("PRV2_INT8_FORCE", "1")
     monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
@@ -243,3 +248,101 @@ def test_calibrated_static_scales_unit(monkeypatch):
     np.testing.assert_allclose(out_static, out_dyn, rtol=0, atol=0.05)
     err = np.linalg.norm(out_static - ref) / np.linalg.norm(ref)
     assert 0 < err < 0.05
+
+
+def test_prequantized_weights_kq(monkeypatch):
+    """Calibration sows pre-quantized (int8 kernel, per-channel scale)
+    pairs into ``quant_kq``; serving with them must match the in-graph
+    weight quantization BIT-EXACTLY (same kernel, same grid) while the
+    served executable no longer re-quantizes weights per call."""
+    from patchrefinerv2_tpu.models.blocks.convs import DoubleConv
+    from patchrefinerv2_tpu.ops.quant import scales_from_stats
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 16, 16, 8), jnp.float32)
+    mod = DoubleConv(features=8, mid_features=12)
+    monkeypatch.delenv("PRV2_INT8", raising=False)
+    v = mod.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("PRV2_INT8_CALIB", "1")
+    _, st = mod.apply(v, x, mutable=["quant_stats", "quant_kq"])
+    monkeypatch.delenv("PRV2_INT8_CALIB")
+    kq_leaves = jax.tree_util.tree_leaves(st["quant_kq"])
+    assert any(l.dtype == jnp.int8 for l in kq_leaves)
+
+    scales = scales_from_stats([st["quant_stats"]])
+    monkeypatch.setenv("PRV2_INT8", "1")
+    monkeypatch.setenv("PRV2_INT8_FORCE", "1")
+    monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")
+    out_static = np.asarray(mod.apply({**v, "quant_scales": scales}, x))
+    out_kq = np.asarray(mod.apply(
+        {**v, "quant_scales": scales, "quant_kq": st["quant_kq"]}, x))
+    np.testing.assert_array_equal(out_kq, out_static)
+
+    # legacy calibration call (quant_stats only mutable) must still work:
+    # the quant_kq sow silently no-ops on the immutable collection
+    monkeypatch.setenv("PRV2_INT8_CALIB", "1")
+    monkeypatch.delenv("PRV2_INT8")
+    monkeypatch.delenv("PRV2_INT8_FORCE")
+    _, st2 = mod.apply(v, x, mutable=["quant_stats"])
+    monkeypatch.delenv("PRV2_INT8_CALIB")
+    assert "quant_stats" in st2 and "quant_kq" not in st2
+
+
+def test_perchan_static_mode(monkeypatch):
+    """Per-input-channel static int8 (PRV2_INT8_PERCHAN): the folded-weight
+    serving path must match the in-graph fold bit-exactly, and the
+    per-channel grid must be at least as accurate as per-tensor on a
+    channel-skewed input."""
+    from patchrefinerv2_tpu.models.blocks.convs import DoubleConv
+    from patchrefinerv2_tpu.models.blocks.dpt import _conv_same
+    from patchrefinerv2_tpu.ops.quant import (
+        quant_conv_same, quant_conv_same_perchan, scales_from_stats,
+    )
+
+    rng = np.random.RandomState(3)
+    # channel-skewed activations (channel c scaled by 4^c) with inversely
+    # scaled weights: every channel contributes equally to the output, so
+    # a per-tensor activation grid (set by the loudest channel) destroys
+    # the small channels' share while per-channel grids keep all of them
+    x = rng.randn(1, 16, 16, 6) * (4.0 ** np.arange(6))
+    x = jnp.asarray(x, jnp.float32)
+    k = rng.randn(3, 3, 6, 8) * 0.1 / (4.0 ** np.arange(6))[None, None, :, None]
+    k = jnp.asarray(k, jnp.float32)
+    ref = np.asarray(_conv_same(x, k, None))
+    amax_t = jnp.max(jnp.abs(x))
+    amax_c = jnp.max(jnp.abs(x), axis=(0, 1, 2))
+    err_t = np.linalg.norm(np.asarray(quant_conv_same(x, k, None, x_amax=amax_t)) - ref)
+    err_c = np.linalg.norm(np.asarray(quant_conv_same_perchan(x, k, None, amax_c)) - ref)
+    assert err_c < err_t * 0.5, (err_c, err_t)  # much tighter grid here
+
+    # dispatch flow: stats pass -> fold -> finalize pass (sows kqc) ->
+    # perchan serving; with-kqc == without-kqc bit-exact
+    mod = DoubleConv(features=8, mid_features=12)
+    monkeypatch.delenv("PRV2_INT8", raising=False)
+    x2 = jnp.asarray(rng.randn(1, 16, 16, 8), jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x2)
+    monkeypatch.setenv("PRV2_INT8_CALIB", "1")
+    _, st = mod.apply(v, x2, mutable=["quant_stats", "quant_kq"])
+    scales = scales_from_stats([st["quant_stats"]])
+    _, st2 = mod.apply({**v, "quant_scales": scales}, x2,
+                       mutable=["quant_stats", "quant_kq"])
+    monkeypatch.delenv("PRV2_INT8_CALIB")
+    kq_leaves = jax.tree_util.tree_flatten_with_path(st2["quant_kq"])[0]
+    assert any("kqc" in jax.tree_util.keystr(p) for p, _ in kq_leaves)
+
+    monkeypatch.setenv("PRV2_INT8", "1")
+    monkeypatch.setenv("PRV2_INT8_FORCE", "1")
+    monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")
+    monkeypatch.setenv("PRV2_INT8_PERCHAN", "1")
+    out_kqc = np.asarray(mod.apply(
+        {**v, "quant_scales": scales, "quant_kq": st2["quant_kq"]}, x2))
+    out_fold = np.asarray(mod.apply({**v, "quant_scales": scales}, x2))
+    np.testing.assert_array_equal(out_kqc, out_fold)
+    # and still close to the exact conv
+    monkeypatch.delenv("PRV2_INT8")
+    monkeypatch.delenv("PRV2_INT8_FORCE")
+    monkeypatch.delenv("PRV2_INT8_PERCHAN")
+    exact = np.asarray(mod.apply(v, x2))
+    err = np.linalg.norm(out_kqc - exact) / np.linalg.norm(exact)
+    assert err < 0.05, err

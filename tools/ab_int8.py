@@ -110,6 +110,15 @@ def main():
     report("int8[static]", d_st, d_bf16)
     if d_f32 is not None:
         report("int8[static]", d_st, d_f32, "f32")
+
+    # per-input-channel activation grid (same calibration artifacts — the
+    # finalize pass sows both the plain and the folded weight snapshots)
+    os.environ["PRV2_INT8_PERCHAN"] = "1"
+    d_pc = run(cal_vars)
+    report("int8[perchan]", d_pc, d_bf16)
+    if d_f32 is not None:
+        report("int8[perchan]", d_pc, d_f32, "f32")
+    del os.environ["PRV2_INT8_PERCHAN"]
     del os.environ["PRV2_INT8"]
 
 

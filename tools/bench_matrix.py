@@ -31,8 +31,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (bench.py reads them at startup); other keys ride BENCH_FLAGS and are
 # exported at trace time. The int8 serving modes are NOT parity-preserving.
 FLAGS = [
-    ("BENCH_INT8", "static"),  # calibrated activation scales (PTQ)
+    ("BENCH_INT8", "static"),  # calibrated activation scales (PTQ) + kq
     ("BENCH_INT8", "1"),       # dynamic per-tensor activation scales
+    ("PRV2_S2D", "0"),         # s2d tail OFF (default is ON; 0 = ablation)
 ]
 
 
