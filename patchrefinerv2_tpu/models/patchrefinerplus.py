@@ -23,6 +23,8 @@ decoder with hacked coarse features (mean_0_std_1 / constant).
 from __future__ import annotations
 
 import functools
+import math
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -38,7 +40,7 @@ from patchrefinerv2_tpu.models.backbones.zoedepth import ZoeDepthDA, ZoeDepthHea
 from patchrefinerv2_tpu.models.tiling import (
     TileCfg,
     crop_resize_patches,
-    merge_passes,
+    merge_all_passes,
     random_pass_starts,
     regular_pass,
 )
@@ -575,22 +577,36 @@ class PatchRefinerPlus:
         regular_offsets = [(0, 0)]
         if cai_mode == "m2" or cai_mode.startswith("r"):
             regular_offsets += [(0, 1), (1, 0), (1, 1)]
-        passes = [
-            (regular_pass(tile_cfg, off, process_num), process_num)
-            for off in regular_offsets
-        ]
-        if len(passes) > 1:
-            # merge the three shifted passes into one stream and re-chunk it
-            # as process_num chunks + a granule-rounded remainder (16+16+8
-            # instead of 3x16 at 4x4/16) — blending is commutative
-            # scatter-add, so pass order doesn't matter. Under a mesh the
-            # remainder chunk rounds up to a multiple of the 'data' axis
-            # (pad patches are masked by the ``valid`` vector), so the
-            # merged stream is active on every mesh instead of reverting to
-            # per-pass padding.
-            gran = None if mesh is None else _mesh_data_size(mesh)
-            passes = [passes[0]] + merge_passes(
-                [p for p, _ in passes[1:]], process_num, granule=gran)
+        if len(regular_offsets) == 1:
+            passes = [(regular_pass(tile_cfg, off, process_num), None,
+                       process_num) for off in regular_offsets]
+        else:
+            # merge ALL regular passes — init pass included, init semantics
+            # carried per-patch (``initv``) — into ONE stream over ONE
+            # compiled chunk body (tiling.merge_all_passes): the program
+            # previously carried up to four structurally distinct refine
+            # executables (init / merged / remainder / random chunk), which
+            # blew the remote-compile budget at r32 and paid three
+            # executable transitions per frame. Blending is commutative
+            # scatter-add, so pass order doesn't matter. Chunk = the conv
+            # batch granule (8; under a mesh its lcm with the 'data' axis
+            # so every chunk shards evenly) — the 4x4/16 stream becomes
+            # 49 -> 7 chunks of 8 (56 slots, same as the old 16+16+16+8).
+            from patchrefinerv2_tpu.models.tiling import _BATCH_GRANULE
+
+            # respect process_num as the memory knob (reference semantics,
+            # docs/user_infer.md:14) — never chunk above it; under a mesh
+            # every chunk must still split across the 'data' axis.
+            # PRV2_REG_CHUNK: A/B override for the regular-stream chunk.
+            chunk = int(os.environ.get(
+                "PRV2_REG_CHUNK", min(process_num, _BATCH_GRANULE)))
+            if mesh is not None:
+                d = _mesh_data_size(mesh)
+                chunk = chunk * d // math.gcd(chunk, d)
+            stream, initv = merge_all_passes(
+                [regular_pass(tile_cfg, off, process_num)
+                 for off in regular_offsets], chunk)
+            passes = [(stream, initv, chunk)]
         n_random_iters = (
             int(cai_mode[1:]) // process_num if cai_mode.startswith("r") else 0
         )
@@ -624,9 +640,11 @@ class PatchRefinerPlus:
                 return d[..., 0]
 
             # regular passes: lax.scan over fixed-size chunks — one chunk's
-            # crop+roi+refine graph compiled once per pass, constant memory
+            # crop+roi+refine graph compiled once for the WHOLE regular
+            # phase (single-pass m1 keeps the static init_pass form; the
+            # unified multi-pass stream threads per-patch init flags)
             state = TileBlender.init(reensemble)
-            for pi, (p, chunk) in enumerate(passes):
+            for pi, (p, iv, chunk) in enumerate(passes):
                 n = p.starts_raw.shape[0]
                 n_chunks = n // chunk
                 valid = (np.arange(n) < p.n_valid).astype(np.float32)
@@ -635,17 +653,21 @@ class PatchRefinerPlus:
                     jnp.asarray(p.starts_process).reshape(n_chunks, chunk, 2),
                     jnp.asarray(p.bboxes).reshape(n_chunks, chunk, 4),
                     jnp.asarray(valid).reshape(n_chunks, chunk),
+                    jnp.asarray(
+                        iv if iv is not None else np.ones(n, np.float32)
+                    ).reshape(n_chunks, chunk),
                 )
-                init_pass = pi == 0
+                static_init = iv is None and pi == 0
 
-                def chunk_body(st, x, _init=init_pass):
-                    s_raw, s_place, bboxes, v = x
+                def chunk_body(st, x, _init=static_init, _perpatch=iv is not None):
+                    s_raw, s_place, bboxes, v, ivec = x
                     imgs = crop_resize_patches(image_hr[0], s_raw, (prh, prw), in_shape)
                     preds = refine_chunk(imgs, bboxes)
                     if preds.shape[1:] != (pph, ppw):
                         preds = resize(preds[..., None], (pph, ppw), "bilinear", True)[..., 0]
                     st = TileBlender.add_pass(
-                        st, preds, blur_proc, s_place, init_pass=_init, valid=v
+                        st, preds, blur_proc, s_place, init_pass=_init, valid=v,
+                        initv=ivec if _perpatch else None,
                     )
                     return st, None
 

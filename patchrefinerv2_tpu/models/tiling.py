@@ -168,6 +168,40 @@ def merge_passes(
     return segments
 
 
+def merge_all_passes(
+    passes: list[RegularPass], chunk: int
+) -> tuple[RegularPass, np.ndarray]:
+    """Concatenate the valid patches of ALL regular passes — including the
+    init (offset (0,0)) pass, which must come first — into ONE stream
+    padded to a multiple of ``chunk``, with a per-patch init-flag vector.
+
+    One stream means the whole regular phase runs as a single ``lax.scan``
+    over one compiled chunk body (the r32 program previously carried FOUR
+    structurally distinct refine executables: init-chunk, merged-chunk,
+    remainder-chunk, random-chunk — a remote-compile-budget hazard and
+    three executable transitions per frame). Valid because blending is
+    commutative scatter-add algebra (ops/blend.py); the init semantics
+    (mosaic write, reference models/utils.py:45-49) become per-patch via
+    ``initv`` instead of per-pass.
+
+    Returns (stream, initv): stream padded with repeats of the last entry
+    (masked by n_valid at blend time), initv (n_padded,) f32 1.0 for
+    init-pass patches.
+    """
+    stream = RegularPass(
+        starts_raw=np.concatenate([p.starts_raw[: p.n_valid] for p in passes]),
+        starts_process=np.concatenate(
+            [p.starts_process[: p.n_valid] for p in passes]),
+        bboxes=np.concatenate([p.bboxes[: p.n_valid] for p in passes]),
+        n_valid=sum(p.n_valid for p in passes),
+    )
+    n = stream.n_valid
+    pad_to = -(-n // chunk) * chunk
+    initv = np.zeros(pad_to, np.float32)
+    initv[: passes[0].n_valid] = 1.0
+    return _slice_pass(stream, 0, n, pad_to), initv
+
+
 def random_pass_starts(
     key: jax.Array, tile_cfg: TileCfg, process_num: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

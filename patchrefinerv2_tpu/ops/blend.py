@@ -58,14 +58,24 @@ class TileBlender:
         starts: jnp.ndarray,  # (N, 2) int32 [h_start, w_start]
         init_pass: bool = False,
         valid: jnp.ndarray | None = None,  # (N,) 0/1 — padded patches get 0
+        initv: jnp.ndarray | None = None,  # (N,) 0/1 — per-patch mosaic write
     ) -> BlendState:
+        """``init_pass`` marks the whole call's patches as init (static);
+        ``initv`` marks patches individually — used by the unified regular
+        stream (tiling.merge_all_passes), where one scan carries both the
+        init pass and the shifted passes."""
         mask = mask.astype(state.sum_w.dtype)
         if valid is None:
             valid = jnp.ones((preds.shape[0],), state.sum_w.dtype)
+        per_patch_init = initv is not None and not init_pass
+        if initv is None:
+            initv = jnp.full(
+                (preds.shape[0],), 1.0 if init_pass else 0.0, state.sum_w.dtype
+            )
 
         def body(carry, inp):
             mosaic, swp, sw = carry
-            p, st, v = inp
+            p, st, v, iv = inp
             p = p.astype(swp.dtype)
             m = mask * v
             cur_wp = jax.lax.dynamic_slice(swp, st, p.shape)
@@ -74,12 +84,18 @@ class TileBlender:
             sw = jax.lax.dynamic_update_slice(sw, cur_w + m, st)
             if init_pass:
                 mosaic = jax.lax.dynamic_update_slice(mosaic, p, st)
+            elif per_patch_init:
+                cur_m = jax.lax.dynamic_slice(mosaic, st, p.shape)
+                mosaic = jax.lax.dynamic_update_slice(
+                    mosaic, jnp.where(iv > 0, p, cur_m), st
+                )
             return (mosaic, swp, sw), None
 
         (mosaic, swp, sw), _ = jax.lax.scan(
             body,
             (state.mosaic, state.sum_wp, state.sum_w),
-            (preds, starts.astype(jnp.int32), valid.astype(state.sum_w.dtype)),
+            (preds, starts.astype(jnp.int32), valid.astype(state.sum_w.dtype),
+             initv.astype(state.sum_w.dtype)),
         )
         return BlendState(mosaic, swp, sw)
 

@@ -236,8 +236,9 @@ def test_calibrated_static_scales_unit(monkeypatch):
     ref = np.asarray(mod.apply(v, x))
     np.testing.assert_array_equal(np.asarray(out_calib), ref)
     leaves = jax.tree_util.tree_leaves(stats["quant_stats"])
-    assert len(leaves) == 2  # two convs in DoubleConv
-    assert all(float(l) > 0 for l in leaves)
+    # two convs in DoubleConv x (per-tensor qamax + per-channel qcamax)
+    assert len(leaves) == 4
+    assert all(float(np.max(np.asarray(l))) > 0 for l in leaves)
 
     # serving: static result close to both the exact and the dynamic graphs
     scales = scales_from_stats([stats["quant_stats"]])

@@ -143,3 +143,58 @@ def test_merge_passes_mesh_granule():
     for p in passes:
         expect += [tuple(s) for s in p.starts_raw[: p.n_valid].tolist()]
     assert sorted(seen) == sorted(expect)
+
+
+def test_merge_all_passes_unified_stream_blend_equivalence():
+    """The unified regular stream (ALL passes in one chunked scan with
+    per-patch init flags) must produce the exact canvases of the per-pass
+    blending it replaced. Integer-valued preds/masks keep f32 sums exact
+    under reordering."""
+    from patchrefinerv2_tpu.models.tiling import merge_all_passes
+
+    tc = TileCfg(
+        image_raw_shape=(64, 96), patch_split_num=(2, 2),
+        patch_process_shape=(16, 24),
+    )
+    offsets = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    passes = [regular_pass(tc, off, 4) for off in offsets]
+    shape = tc.patch_reensemble_shape
+    mask = jnp.ones((16, 24), jnp.float32)
+
+    def pred_for(starts):
+        # deterministic integer pred per patch position
+        return jnp.asarray(
+            np.stack([
+                np.full((16, 24), 1.0 + h // 8 + w // 12, np.float32)
+                for h, w in starts
+            ])
+        )
+
+    # path A: per-pass blending (init pass static, shifted passes after)
+    st_a = TileBlender.init(shape)
+    for pi, p in enumerate(passes):
+        n = p.n_valid
+        st_a = TileBlender.add_pass(
+            st_a, pred_for(p.starts_process[:n]), mask,
+            jnp.asarray(p.starts_process[:n]), init_pass=(pi == 0),
+        )
+
+    # path B: unified stream, chunked, per-patch init flags
+    stream, initv = merge_all_passes(passes, chunk=8)
+    n_pad = stream.starts_raw.shape[0]
+    valid = (np.arange(n_pad) < stream.n_valid).astype(np.float32)
+    st_b = TileBlender.init(shape)
+    for lo in range(0, n_pad, 8):
+        sl = slice(lo, lo + 8)
+        st_b = TileBlender.add_pass(
+            st_b, pred_for(stream.starts_process[sl]), mask,
+            jnp.asarray(stream.starts_process[sl]),
+            valid=jnp.asarray(valid[sl]), initv=jnp.asarray(initv[sl]),
+        )
+
+    np.testing.assert_array_equal(np.asarray(st_a.sum_wp), np.asarray(st_b.sum_wp))
+    np.testing.assert_array_equal(np.asarray(st_a.sum_w), np.asarray(st_b.sum_w))
+    np.testing.assert_array_equal(np.asarray(st_a.mosaic), np.asarray(st_b.mosaic))
+    out_a = TileBlender.finalize(st_a)
+    out_b = TileBlender.finalize(st_b)
+    np.testing.assert_array_equal(np.asarray(out_a), np.asarray(out_b))
