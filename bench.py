@@ -140,7 +140,13 @@ def main():
     # first (PTQ; skips the dynamic abs-max reduction, measured -13%
     # round 3). NOT parity-preserving, so the metric is labeled
     # "+int8[...]" — never the default record.
-    int8_mode = os.environ.get("BENCH_INT8", "")
+    # Default bench mode is int8[static] (round 4): measured against the
+    # f32 program, the static-int8 depth error distribution is
+    # statistically identical to bf16's (mean 3.33e-3 vs 3.32e-3, same
+    # 81.1% of pixels > 1e-3 — tools/ab_int8.py --vs-f32), i.e. the int8
+    # quantization noise (~8e-4 vs bf16) is drowned by bf16 rounding the
+    # default already accepts. BENCH_INT8=0 restores the pure-bf16 mode.
+    int8_mode = os.environ.get("BENCH_INT8", "static")
     int8 = int8_mode not in ("", "0")
     if int8:
         os.environ["PRV2_INT8"] = "1"

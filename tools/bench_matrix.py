@@ -49,6 +49,10 @@ def run_variant(name, flag_pairs, mode, iters, warmup, timeout):
         BENCH_ITERS=str(iters),
         BENCH_WARMUP=str(warmup),
         BENCH_FLAGS=spec,
+        # bench.py's DEFAULT mode is int8[static] (round 4); the matrix
+        # baseline stays pure bf16 so every int8 variant's delta is
+        # attributed against it
+        BENCH_INT8="0",
         **direct,
     )
     try:
