@@ -15,6 +15,7 @@ Prints one JSON line per dtype:
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -87,7 +88,15 @@ def main():
         )
         opt_state = tx.init(params)
 
-        @jax.jit
+        # donate the train state: without donation, back-to-back async
+        # dispatch keeps every in-flight step's input AND output state
+        # alive (~7 GB each), which OOM'd the chip while the host kept
+        # enqueueing — the loop then timed ~17 ms ENQUEUES, not steps
+        # (round-4 postmortem; the 22.1 TFLOP / 459 GB step measured by
+        # compile().cost_analysis() bounds a real step at >= ~560 ms).
+        # Block every step: train steps are long enough that dispatch
+        # latency is noise, and a poisoned buffer must surface here.
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
         def step(params, batch_stats, opt_state, batch, key):
             def loss_fn(p):
                 v = {"params": p, "batch_stats": batch_stats}
@@ -103,13 +112,13 @@ def main():
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state, batch, key
             )
-        jax.block_until_ready(loss)
+            jax.block_until_ready(loss)
         t0 = time.perf_counter()
         for _ in range(args.steps):
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state, batch, key
             )
-        jax.block_until_ready(loss)
+            jax.block_until_ready(loss)
         dt = (time.perf_counter() - t0) / args.steps
         print(json.dumps({
             "metric": f"train img/s/chip bs={bs}"
