@@ -105,20 +105,31 @@ def main():
 
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, new_opt = tx.update(grads, opt_state, params)
-            return optax.apply_updates(params, updates), new_bs, new_opt, loss
+            new_params = optax.apply_updates(params, updates)
+            # barrier scalar: depends on EVERY updated leaf, so fetching it
+            # on the host forces the whole step (one extra ~1.4 GB reduce,
+            # ~2 ms). On the tunneled backend block_until_ready is
+            # per-buffer-readiness and returns long before the program
+            # finishes (measured 61 ms "steps" on a >=560 ms program);
+            # only a host fetch of a late-produced value is a real barrier.
+            chk = sum(
+                jnp.sum(p.astype(jnp.float32))
+                for p in jax.tree_util.tree_leaves(new_params)
+            ) + loss
+            return new_params, new_bs, new_opt, loss, chk
 
         key = jax.random.PRNGKey(0)
         for _ in range(args.warmup):
-            params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, loss, chk = step(
                 params, batch_stats, opt_state, batch, key
             )
-            jax.block_until_ready(loss)
+            float(chk)  # host fetch = real barrier (see step docstring)
         t0 = time.perf_counter()
         for _ in range(args.steps):
-            params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, loss, chk = step(
                 params, batch_stats, opt_state, batch, key
             )
-            jax.block_until_ready(loss)
+            float(chk)
         dt = (time.perf_counter() - t0) / args.steps
         print(json.dumps({
             "metric": f"train img/s/chip bs={bs}"
