@@ -76,6 +76,72 @@ def flagship_config(max_depth=80.0):
     )
 
 
+def _cached_calibration(model, variables, image_lr, image_hr, process_num):
+    """Calibrate-once/serve-many: load the int8 calibration artifact
+    (``quant_scales`` + ``quant_kq`` trees) from a cache keyed on the
+    bench config, the quant env flags, and the content of the quant
+    implementation files; calibrate and persist on miss. Mirrors the
+    deployed flow (tools/calibrate_int8.py persists scales into a
+    checkpoint; the bench uses random PRNGKey(0) weights, so the artifact
+    is fully determined by the key)."""
+    import hashlib
+    import pickle
+
+    import numpy as _np
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    code = b""
+    for rel in ("patchrefinerv2_tpu/ops/quant.py",
+                "patchrefinerv2_tpu/models/patchrefinerplus.py"):
+        with open(os.path.join(here, rel), "rb") as f:
+            code += f.read()
+    key = json.dumps(
+        [repr(sorted(flagship_config().items())), process_num,
+         os.environ.get("PRV2_INT8_MIN_KC", ""),
+         os.environ.get("PRV2_INT8_PERCHAN", ""),
+         hashlib.sha256(code).hexdigest()],
+        sort_keys=True,
+    )
+    cache_dir = os.environ.get("BENCH_CALIB_CACHE", "/tmp/prv2_calib_cache")
+    path = os.path.join(
+        cache_dir, hashlib.sha256(key.encode()).hexdigest()[:16] + ".pkl")
+    if os.path.exists(path):
+        try:
+            t0 = time.perf_counter()
+            with open(path, "rb") as f:
+                scales_np, kq_np = pickle.load(f)
+            to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+            variables = dict(variables, quant_scales=to_dev(scales_np),
+                             quant_kq=to_dev(kq_np))
+            print(f"loaded cached int8 calibration from {path} in "
+                  f"{time.perf_counter()-t0:.1f}s", file=sys.stderr)
+            return variables
+        except Exception as e:  # corrupt artifact: recalibrate
+            print(f"calibration cache unreadable ({e}); recalibrating",
+                  file=sys.stderr)
+    print("calibrating static int8 scales...", file=sys.stderr)
+    t0 = time.perf_counter()
+    variables = model.calibrate_int8(
+        variables, [(image_lr, image_hr)], process_num=process_num
+    )
+    n_sites = len(jax.tree_util.tree_leaves(variables["quant_scales"]))
+    print(f"calibrated {n_sites} conv sites in "
+          f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        host = lambda t: jax.tree_util.tree_map(
+            lambda a: _np.asarray(a), t)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump((host(variables["quant_scales"]),
+                         host(variables["quant_kq"])), f)
+        os.replace(tmp, path)
+        print(f"cached calibration artifact at {path}", file=sys.stderr)
+    except Exception as e:
+        print(f"calibration cache write failed ({e})", file=sys.stderr)
+    return variables
+
+
 def _wait_for_backend(attempts=None, probe_timeout=900):
     """The tunneled chip grant can transiently fail OR hang (pool
     contention / relay restart — a dead relay blocks jax.devices() on the
@@ -138,8 +204,7 @@ def main():
     # BENCH_INT8=1|static: measure the int8 serving mode (ops/quant.py) —
     # "static" calibrates per-site activation scales on the bench input
     # first (PTQ; skips the dynamic abs-max reduction, measured -13%
-    # round 3). NOT parity-preserving, so the metric is labeled
-    # "+int8[...]" — never the default record.
+    # round 3). The metric is labeled "+int8[...]".
     # Default bench mode is int8[static] (round 4): measured against the
     # f32 program, the static-int8 depth error distribution is
     # statistically identical to bf16's (mean 3.33e-3 vs 3.32e-3, same
@@ -196,15 +261,13 @@ def main():
     if int8 and int8_mode == "static":
         # PTQ calibration on the bench input (throughput is
         # scale-value-independent; real deployments calibrate on real
-        # frames via tools/calibrate_int8.py)
-        print("calibrating static int8 scales...", file=sys.stderr)
-        t0 = time.perf_counter()
-        variables = model.calibrate_int8(
-            variables, [(image_lr, image_hr)], process_num=process_num
-        )
-        n_sites = len(jax.tree_util.tree_leaves(variables["quant_scales"]))
-        print(f"calibrated {n_sites} conv sites in "
-              f"{time.perf_counter()-t0:.0f}s", file=sys.stderr)
+        # frames via tools/calibrate_int8.py). Calibrate-once/serve-many:
+        # the quant_scales/quant_kq trees are persisted keyed on the
+        # config + quant flags + quant-code content, so repeat bench
+        # invocations load the artifact (<10 s) instead of re-spending
+        # ~250 s re-calibrating 242 sites per run.
+        variables = _cached_calibration(model, variables, image_lr, image_hr,
+                                        process_num)
 
     def once():
         d, _ = model.infer(

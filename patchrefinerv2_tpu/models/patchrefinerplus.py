@@ -603,6 +603,13 @@ class PatchRefinerPlus:
             if mesh is not None:
                 d = _mesh_data_size(mesh)
                 chunk = chunk * d // math.gcd(chunk, d)
+                if chunk > process_num:
+                    # the lcm can overshoot the process_num memory knob
+                    # (e.g. chunk 8, d=12 -> 24): fall back to the largest
+                    # multiple of d that still fits, or d itself (the
+                    # minimum shardable chunk) when the mesh 'data' axis is
+                    # wider than process_num.
+                    chunk = max(process_num // d * d, d)
             stream, initv = merge_all_passes(
                 [regular_pass(tile_cfg, off, process_num)
                  for off in regular_offsets], chunk)

@@ -36,9 +36,12 @@ Weights are symmetric per-output-channel int8 in both modes (scales from
 the live params at trace time); accumulation is int32 on the MXU,
 dequantized by sx * sw[c].
 
-NOT parity-preserving: per-conv relative error is ~1e-2 (int8 rounding),
-far above the 1e-3 reference-parity bar — hence opt-in via
-``PRV2_INT8=1`` and excluded from the default benchmark path. No
+NOT parity-preserving module-by-module: per-conv relative error is ~1e-2
+(int8 rounding). End-to-end, however, the static-int8 depth error vs the
+f32 program is statistically identical to bf16's (docs/performance.md,
+tools/ab_int8.py --vs-f32), so int8[static] is the DEFAULT benchmark
+serving mode since round 4 (``BENCH_INT8=0`` restores pure bf16; the f32
+program remains the parity-claim mode). Enabled via ``PRV2_INT8=1``. No
 reference counterpart (the reference has no quantized inference,
 estimator/tester/tester.py:325-404 benchmarks fp32/amp only).
 """

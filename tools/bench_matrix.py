@@ -49,12 +49,14 @@ def run_variant(name, flag_pairs, mode, iters, warmup, timeout):
         BENCH_ITERS=str(iters),
         BENCH_WARMUP=str(warmup),
         BENCH_FLAGS=spec,
-        # bench.py's DEFAULT mode is int8[static] (round 4); the matrix
-        # baseline stays pure bf16 so every int8 variant's delta is
-        # attributed against it
-        BENCH_INT8="0",
-        **direct,
     )
+    # bench.py's DEFAULT mode is int8[static] (round 4); the matrix
+    # baseline stays pure bf16 so every int8 variant's delta is
+    # attributed against it. Set the default BEFORE merging `direct`:
+    # passing BENCH_INT8 both as a keyword and inside **direct raises
+    # TypeError for the int8 variants.
+    env["BENCH_INT8"] = "0"
+    env.update(direct)
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(ROOT, "bench.py")],
