@@ -794,7 +794,17 @@ def convert_patchrefinerplus(sd: Dict[str, np.ndarray]) -> dict:
     """
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
-    if any(k.startswith("coarse_branch.") for k in sd):
+    if any(k.startswith("coarse_branch.pretrained.blocks.") for k in sd):
+        # DA2 coarse (config coarse_branch.type == 'DA2',
+        # patchrefinerplus.py:120-125): DINOv2 trunk + DPT head, not the
+        # ZoeDepth bins stack
+        sub = {
+            k[len("coarse_branch."):]: v
+            for k, v in sd.items()
+            if k.startswith("coarse_branch.")
+        }
+        params["coarse"] = convert_da2(sub)
+    elif any(k.startswith("coarse_branch.") for k in sd):
         params["coarse"] = convert_zoedepth(sd, "coarse_branch.")
     if any(k.startswith("refiner_fine_branch.refiner_encoder.") for k in sd):
         if any(

