@@ -37,11 +37,27 @@ def setup_distributed():
         os.environ.get("PRV2_DIST")
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
         or os.environ.get("COORDINATOR_ADDRESS")
+        or (os.environ.get("WORLD_SIZE") and os.environ.get("MASTER_ADDR"))
     ):
+        # torchrun-style env (the reference's launcher contract,
+        # estimator/utils/dist.py:6-43 via mmengine init_dist): when
+        # MASTER_ADDR/MASTER_PORT/RANK/WORLD_SIZE are set, pass them
+        # explicitly — jax's auto-detection only covers SLURM/MPI-style
+        # clusters. Exercised end-to-end by tools/dryrun_multiprocess.py.
+        kwargs = {}
+        if os.environ.get("WORLD_SIZE") and os.environ.get("MASTER_ADDR"):
+            kwargs = dict(
+                coordinator_address=(
+                    f"{os.environ['MASTER_ADDR']}:"
+                    f"{os.environ.get('MASTER_PORT', '29500')}"
+                ),
+                num_processes=int(os.environ["WORLD_SIZE"]),
+                process_id=int(os.environ.get("RANK", "0")),
+            )
         # must run before ANY backend query (jax.devices/process_count),
         # so callers invoke this first thing after import
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
             print_log(
                 f"jax.distributed initialized: process "
                 f"{jax.process_index()}/{jax.process_count()}"

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Task-metric serving-accuracy A/B on TRAINED weights (VERDICT r4 #3).
+
+Trains the tiny flagship for a few hundred steps on the synthetic
+dataset, then evaluates the reference metric set (a1/a2/a3, abs_rel,
+rmse, ... — estimator/utils/metric.py:11-51,88-149) through ``Tester.run``
+for each serving mode:
+
+    f32            infer_dtype=float32 (the parity-claim mode)
+    bf16           infer_dtype=bfloat16
+    int8[static]   bf16 + calibrated static int8 (the bench default)
+
+The prior justification for benching int8[static] rested on PIXEL
+rel-error with RANDOM weights (tools/ab_int8.py); this closes the gap
+with the actual metric set on trained weights. CPU-runnable (tiny
+geometry); results go to stdout as a table per mode.
+
+Usage: python tools/ab_metrics.py [--steps 200] [--val-frames 4]
+"""
+
+import argparse
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/prv2_jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--val-frames", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "cpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from patchrefinerv2_tpu.registry import MODELS, DATASETS
+    from patchrefinerv2_tpu.datasets.base import DataLoader
+    from patchrefinerv2_tpu.evaluation.tester import Tester
+    from tests.test_models import tiny_config
+
+    geo = dict(image_raw_shape=(168, 224), network_process_size=(84, 112),
+               patch_raw_shape=(84, 112))
+
+    # ---------------------------------------------------------- training
+    cfg = tiny_config()
+    model = MODELS.build(dict(type="PatchRefinerPlus", config=cfg))
+    variables = model.init(jax.random.PRNGKey(0))
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+
+    train_ds = DATASETS.build(dict(type="SyntheticDataset", mode="train",
+                                   length=16, **geo))
+    loader = DataLoader(train_ds, batch_size=2, shuffle=True, num_prefetch=0)
+
+    tx = optax.adamw(args.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, batch, key):
+        def loss_fn(p):
+            v = {"params": p, "batch_stats": batch_stats}
+            loss_dict, aux = model.loss(v, batch, rng=key,
+                                        mutable=["batch_stats"])
+            return loss_dict["total_loss"], aux["variables"]["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    it = iter(loader)
+    n = 0
+    while n < args.steps:
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(loader)
+            continue
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k in ("image_lr", "crops_image_hr", "crop_depths", "bboxs")}
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, batch, sub)
+        n += 1
+        if n % 50 == 0 or n == 1:
+            print(f"step {n}: loss {float(loss):.4f}", flush=True)
+    trained = {"params": params, "batch_stats": batch_stats}
+
+    # -------------------------------------------------------- evaluation
+    val_ds = DATASETS.build(dict(type="SyntheticDataset", mode="val",
+                                 length=args.val_frames, **geo))
+    val_loader = DataLoader(val_ds, batch_size=1, shuffle=False,
+                            num_prefetch=0)
+
+    def evaluate(label, infer_dtype, int8=False):
+        os.environ.pop("PRV2_INT8", None)
+        os.environ.pop("PRV2_INT8_FORCE", None)
+        cfg2 = dict(tiny_config(), infer_dtype=infer_dtype)
+        m2 = MODELS.build(dict(type="PatchRefinerPlus", config=cfg2))
+        v = dict(trained)
+        if int8:
+            os.environ["PRV2_INT8"] = "1"
+            if infer_dtype == "float32":
+                os.environ["PRV2_INT8_FORCE"] = "1"
+            frames = []
+            for i in range(min(2, len(val_ds))):
+                item = val_ds[i]
+                frames.append((jnp.asarray(np.asarray(item["image_lr"])[None]),
+                               jnp.asarray(np.asarray(item["image_hr"])[None])))
+            v = m2.calibrate_int8(v, frames, process_num=4)
+        tester = Tester(None, m2, val_loader, work_dir="/tmp/ab_metrics_wd")
+        print(f"\n===== mode: {label} =====", flush=True)
+        table = tester.run(v, cai_mode="m2", process_num=4,
+                           image_raw_shape=geo["image_raw_shape"],
+                           patch_split_num=(2, 2))
+        return table
+
+    evaluate("f32", "float32")
+    evaluate("bf16", "bfloat16")
+    evaluate("int8[static]", "bfloat16", int8=True)
+
+
+if __name__ == "__main__":
+    main()
