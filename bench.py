@@ -91,14 +91,24 @@ def _cached_calibration(model, variables, image_lr, image_hr, process_num):
 
     here = os.path.dirname(os.path.abspath(__file__))
     code = b""
+    # every module that owns quant conv SITES must be in the key: a stale
+    # artifact missing a site silently serves that site dynamic scales
     for rel in ("patchrefinerv2_tpu/ops/quant.py",
-                "patchrefinerv2_tpu/models/patchrefinerplus.py"):
+                "patchrefinerv2_tpu/ops/s2d.py",
+                "patchrefinerv2_tpu/models/patchrefinerplus.py",
+                "patchrefinerv2_tpu/models/blocks/dpt.py",
+                "patchrefinerv2_tpu/models/blocks/convs.py",
+                "patchrefinerv2_tpu/models/blocks/fusion.py",
+                "patchrefinerv2_tpu/models/backbones/encoders.py"):
         with open(os.path.join(here, rel), "rb") as f:
             code += f.read()
     key = json.dumps(
         [repr(sorted(flagship_config().items())), process_num,
          os.environ.get("PRV2_INT8_MIN_KC", ""),
          os.environ.get("PRV2_INT8_PERCHAN", ""),
+         # S2D / SKIP change WHICH sites sow scales -> fork the artifact
+         os.environ.get("PRV2_INT8_S2D", ""),
+         os.environ.get("PRV2_INT8_SKIP", ""),
          hashlib.sha256(code).hexdigest()],
         sort_keys=True,
     )
@@ -211,7 +221,11 @@ def main():
     # 81.1% of pixels > 1e-3 — tools/ab_int8.py --vs-f32), i.e. the int8
     # quantization noise (~8e-4 vs bf16) is drowned by bf16 rounding the
     # default already accepts. BENCH_INT8=0 restores the pure-bf16 mode.
-    int8_mode = os.environ.get("BENCH_INT8", "static")
+    # default int8[perchan] (round 5): at the default site set (tail
+    # excluded) perchan's depth-error distribution vs f32 is IDENTICAL to
+    # bf16's (mean 3.36e-3 vs 3.32e-3, >1e-2 1.71% vs 1.61%) at identical
+    # speed — strictly tighter than per-tensor static (3.45e-3 / 2.06%).
+    int8_mode = os.environ.get("BENCH_INT8", "perchan")
     int8 = int8_mode not in ("", "0")
     if int8:
         os.environ["PRV2_INT8"] = "1"

@@ -97,7 +97,16 @@ class SingleConvCNNLN(nn.Module):
                 (3, 3, sum(self.s2d_split), self.features),
                 use_bias=False, name="Conv_0",
             )()
-            x = _conv_same(
+            from patchrefinerv2_tpu.ops.quant import (
+                quant_skip, s2d_quant_enabled,
+            )
+
+            sconv = (
+                conv_dispatch(self, x.dtype, _conv_same)
+                if s2d_quant_enabled() and not quant_skip("tailfuse")
+                else _conv_same
+            )
+            x = sconv(
                 x, s2d_ops.s2d_same_kernel(kern, split=tuple(self.s2d_split)),
                 None,
             )
@@ -129,9 +138,9 @@ class DoubleConv(nn.Module):
     tile in plain layout; the (4,4) down kernel is also 2.25x fewer
     padded FLOPs than the plain 3x3 there). The FIRST conv stays plain:
     at mid~98 channels an s2d expansion would quadruple padded FLOPs
-    with no occupancy gain. The s2d branch bypasses the int8 dispatch by
-    design (s2d sites are exempt from quantization — see ops/quant.py
-    "s2d interaction")."""
+    with no occupancy gain. The s2d branch routes through the int8
+    dispatch only under PRV2_INT8_S2D=1 (ops/quant.py "s2d
+    interaction")."""
 
     features: int
     mid_features: int | None = None
@@ -151,8 +160,22 @@ class DoubleConv(nn.Module):
         h = gelu(conv(x, k0, None))
         if self.s2d_out:
             from patchrefinerv2_tpu.ops import s2d as s2d_ops
+            from patchrefinerv2_tpu.ops.quant import (
+                quant_skip, s2d_quant_enabled,
+            )
 
             assert h.shape[1] % 2 == 0 and h.shape[2] % 2 == 0, h.shape
+            if s2d_quant_enabled() and not quant_skip("taildc"):
+                # s2d-down form as a dispatchable conv: pre-expanded (4,4)
+                # stride-2 kernel, explicit (1,1) pads (ops/s2d.py
+                # conv_s2d_down numerics)
+                # distinct prefix: this module already owns a dispatcher
+                # for the plain first conv (site-name collision otherwise)
+                dconv = conv_dispatch(
+                    self, x.dtype, s2d_ops.conv_down_expanded,
+                    strides=(2, 2), padding=((1, 1), (1, 1)), prefix="qsd",
+                )
+                return gelu(dconv(h, s2d_ops.s2d_down_kernel(k1), None))
             return gelu(s2d_ops.conv_s2d_down(h, k1, None))
         return gelu(conv(h, k1, None))
 

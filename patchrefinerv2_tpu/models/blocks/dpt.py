@@ -116,6 +116,10 @@ class GatedConvUnit(nn.Module):
     gate: bool = True
     fusion: bool = True
     s2d: bool = False
+    # False excludes this instance's convs from int8 quantization — set on
+    # the depth-adjacent C2F head instances, where quantization measurably
+    # fattens the depth-error tail (docs/performance.md round-5 accuracy)
+    quant_ok: bool = True
 
     @nn.compact
     def __call__(self, x, c_feat=None):
@@ -123,8 +127,18 @@ class GatedConvUnit(nn.Module):
         k1, b1 = _ConvParams((3, 3, cin, self.features), name="Conv_0")()
         if self.s2d:
             from patchrefinerv2_tpu.ops import s2d as s2d_ops
+            from patchrefinerv2_tpu.ops.quant import (
+                conv_dispatch, s2d_quant_enabled,
+            )
 
-            out = _conv_same(
+            # PRV2_INT8_S2D: the expanded-kernel convs take the int8 path
+            # too (structural zeros quantize to 0; same per-cout grid)
+            sconv = (
+                conv_dispatch(self, x.dtype, _conv_same)
+                if s2d_quant_enabled() and self.quant_ok
+                else _conv_same
+            )
+            out = sconv(
                 relu(x), s2d_ops.s2d_same_kernel(k1), s2d_ops.tile_bias(b1)
             ) + x
             if not self.fusion:
@@ -138,13 +152,13 @@ class GatedConvUnit(nn.Module):
                 (1, 1, self.features, self.features), use_bias=False,
                 name="Conv_2",
             )()
-            fused = _conv_same(
+            fused = sconv(
                 jnp.concatenate([out, c_feat], axis=-1),
                 s2d_ops.s2d_same_kernel(k2, split=(self.features, cc)),
                 s2d_ops.tile_bias(b2),
             )
             fused = s2d_ops.layer_norm_s2d(fused, ln_s, ln_b)
-            fused = _conv_same(relu(fused), s2d_ops.s2d_1x1_kernel(k3), None)
+            fused = sconv(relu(fused), s2d_ops.s2d_1x1_kernel(k3), None)
             if self.gate:
                 return out * nn.sigmoid(fused)
             return fused
@@ -165,7 +179,11 @@ class GatedConvUnit(nn.Module):
         # excluded from the parity bar and the default bench)
         from patchrefinerv2_tpu.ops.quant import conv_dispatch
 
-        conv = conv_dispatch(self, x.dtype, _conv_same)
+        conv = (
+            conv_dispatch(self, x.dtype, _conv_same)
+            if self.quant_ok
+            else _conv_same
+        )
         out = conv(relu(x), k1, b1) + x
         fused = conv(jnp.concatenate([out, c_feat], axis=-1), k2, b2)
         fused = _layer_norm(fused, ln_s, ln_b)
@@ -186,16 +204,19 @@ class GatedFusionBlock(nn.Module):
     gate: bool = True
     fusion: bool = True
     s2d: bool = False
+    quant_ok: bool = True  # see GatedConvUnit
 
     @nn.compact
     def __call__(self, x, skip=None, size=None, coarse_feat=None, upscale=True):
         out = x
         if skip is not None:
             res = GatedConvUnit(self.features, self.gate, self.fusion,
-                                s2d=self.s2d)(skip, coarse_feat)
+                                s2d=self.s2d, quant_ok=self.quant_ok
+                                )(skip, coarse_feat)
             out = out + res
         out = GatedConvUnit(self.features, self.gate, self.fusion,
-                            s2d=self.s2d)(out, coarse_feat)
+                            s2d=self.s2d, quant_ok=self.quant_ok
+                            )(out, coarse_feat)
         if self.s2d:
             assert not upscale
             from patchrefinerv2_tpu.ops import s2d as s2d_ops
@@ -324,7 +345,20 @@ class C2FModule(nn.Module):
             p2, l1rn, coarse_feat=coarse_features[1]
         )
 
-        out = nn.Conv(self.features // 2, (3, 3), name="output_conv1")(p1)
+        # head convs through the int8 dispatcher (param tree identical to
+        # nn.Conv): output_conv1 is a full-resolution 256->128 conv — one
+        # of the largest single ops in the m1 frame (tools/diff_trace.py).
+        # Family-gated (ops/quant.py quant_skip) for the accuracy A/B.
+        from patchrefinerv2_tpu.ops.quant import conv_dispatch, quant_skip
+
+        hconv = (
+            _conv_same if quant_skip("oc1")
+            else conv_dispatch(self, p1.dtype, _conv_same)
+        )
+        k1c, b1c = _ConvParams(
+            (3, 3, p1.shape[-1], self.features // 2), name="output_conv1"
+        )()
+        out = hconv(p1, k1c, b1c)
 
         from patchrefinerv2_tpu.ops import s2d as s2d_ops
 
@@ -336,9 +370,24 @@ class C2FModule(nn.Module):
             k2, b2 = _ConvParams(
                 (3, 3, out.shape[-1], self.head2_features), name="output_conv2"
             )()
-            last_feat = relu(s2d_ops.conv_s2d_down(out, k2, b2))
+            # output_conv2 + the 32-ch gated head are depth-adjacent and
+            # traffic-bound (cout 32): quantization there buys ~0 speed —
+            # family-gated via quant_skip("head")
+            head_ok = not quant_skip("head")
+            from patchrefinerv2_tpu.ops.quant import s2d_quant_enabled
+
+            if head_ok and s2d_quant_enabled():
+                dconv = conv_dispatch(
+                    self, out.dtype, s2d_ops.conv_down_expanded,
+                    strides=(2, 2), padding=((1, 1), (1, 1)), prefix="qsd",
+                )
+                last_feat = relu(dconv(out, s2d_ops.s2d_down_kernel(k2),
+                                       s2d_ops.tile_bias(b2)))
+            else:
+                last_feat = relu(s2d_ops.conv_s2d_down(out, k2, b2))
             last_feat = GatedFusionBlock(
-                self.head2_features, g, f, name="output_conv2_fusion", s2d=True
+                self.head2_features, g, f, name="output_conv2_fusion",
+                s2d=True, quant_ok=head_ok,
             )(
                 last_feat,
                 coarse_feat=s2d_ops.space_to_depth(coarse_features[0]),
@@ -356,8 +405,14 @@ class C2FModule(nn.Module):
             feats = [l5rn, p5, p4, p3, p2, last_feat]
             return feats, out
 
-        last_feat = relu(nn.Conv(self.head2_features, (3, 3), name="output_conv2")(out))
-        last_feat = GatedFusionBlock(self.head2_features, g, f, name="output_conv2_fusion")(
+        head_ok = not quant_skip("head")
+        k2c, b2c = _ConvParams(
+            (3, 3, out.shape[-1], self.head2_features), name="output_conv2"
+        )()
+        last_feat = relu((hconv if head_ok else _conv_same)(out, k2c, b2c))
+        last_feat = GatedFusionBlock(self.head2_features, g, f,
+                                     name="output_conv2_fusion",
+                                     quant_ok=head_ok)(
             last_feat, coarse_feat=coarse_features[0], upscale=False
         )
         out = nn.Conv(

@@ -127,19 +127,21 @@ def _fold_act_scales(kernel, amax_c):
     return kernel.astype(jnp.float32) * sx[None, None, :, None], sx
 
 
-def quant_conv_same(x, kernel, bias, x_amax=None, kq_sw=None):
+def quant_conv_same(x, kernel, bias, x_amax=None, kq_sw=None,
+                    strides=(1, 1), padding="SAME"):
     """SAME conv computed on the int8 MXU path, matching the f32/_conv_same
     result up to int8 rounding (~1e-2 rel). Output dtype follows x.
     ``x_amax``: calibrated activation abs-max (static mode); None =
     dynamic per-tensor scale. ``kq_sw``: pre-quantized (int8 kernel,
     per-channel scale) captured at calibration — skips the in-graph
     weight round/clip (which XLA re-runs per scan step) and halves the
-    weight HBM traffic."""
+    weight HBM traffic. ``strides``/``padding``: for the s2d-down form
+    (ops/s2d.py conv_s2d_down: stride 2, explicit (1,1) pads)."""
     out_dtype = x.dtype
     x_q, sx = _quantize_per_tensor(x, x_amax)
     k_q, sw = kq_sw if kq_sw is not None else _quantize_per_out_channel(kernel)
     acc = jax.lax.conv_general_dilated(
-        x_q, k_q, (1, 1), "SAME",
+        x_q, k_q, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
@@ -149,7 +151,8 @@ def quant_conv_same(x, kernel, bias, x_amax=None, kq_sw=None):
     return y.astype(out_dtype)
 
 
-def quant_conv_same_perchan(x, kernel, bias, x_amax_c, kqc_sw=None):
+def quant_conv_same_perchan(x, kernel, bias, x_amax_c, kqc_sw=None,
+                            strides=(1, 1), padding="SAME"):
     """Per-input-channel static int8 conv: activations quantize against a
     calibrated PER-CHANNEL abs-max (``x_amax_c`` shape (cin,)), with the
     matching scales folded into the weight quantization
@@ -168,7 +171,7 @@ def quant_conv_same_perchan(x, kernel, bias, x_amax_c, kqc_sw=None):
     else:
         k_q, sw = kqc_sw
     acc = jax.lax.conv_general_dilated(
-        x_q, k_q, (1, 1), "SAME",
+        x_q, k_q, strides, padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
@@ -178,7 +181,42 @@ def quant_conv_same_perchan(x, kernel, bias, x_amax_c, kqc_sw=None):
     return y.astype(out_dtype)
 
 
-def conv_dispatch(mdl, dtype, fallback):
+def s2d_quant_enabled() -> bool:
+    """Quantization of the s2d-form conv sites (ops/s2d.py expanded
+    kernels), DEFAULT ON since round 5 (``PRV2_INT8_S2D=0`` to ablate).
+    The structural zeros quantize exactly to 0 and the per-output-channel
+    scales equal the unexpanded kernel's, so the int8 grid is bit-exact
+    vs quantizing the plain conv (tests/test_quant.py
+    ``test_s2d_quant_conv_bit_exact_vs_plain_quant``); measured +1.4% m1
+    end-to-end on its own, more with the head sites (docs/performance.md
+    round-5 int8 table). Must be set consistently for calibration AND
+    serving (the s2d sites only sow scales when enabled)."""
+    return os.environ.get("PRV2_INT8_S2D", "1") not in ("", "0", "false")
+
+
+def quant_skip(family: str) -> bool:
+    """Site-family exclusion from quantization (``PRV2_INT8_SKIP``, comma
+    list). Families: ``head`` (C2F output_conv2 + 32-ch gated head),
+    ``oc1`` (C2F output_conv1, 256->128 full-res), ``tailfuse``
+    (fusion1_0/fusion2_0 s2d SingleConvs), ``taildc`` (f2r_agg_4's
+    s2d-down second conv — the layer feeding final_conv). Used to
+    attribute and control the depth-error tail the round-5 coverage
+    widening introduced (docs/performance.md)."""
+    skip = os.environ.get("PRV2_INT8_SKIP", _DEFAULT_SKIP)
+    return family in {s.strip() for s in skip.split(",") if s.strip()}
+
+
+# round-5 accuracy A/B outcome (docs/performance.md): quantizing the
+# full-resolution s2d TAIL — fusion1_0/fusion2_0 and the f2r_agg_4
+# down-conv, the layers feeding final_conv — fattened the depth-error
+# tail vs f32 11x (>1e-2 pixels 1.6% -> 18.5%) for ~+1.3% speed, while
+# the C2F head/oc1 sites are accuracy-free; the tail stays excluded by
+# default. Overridable per-run via PRV2_INT8_SKIP.
+_DEFAULT_SKIP = "tailfuse,taildc"
+
+
+def conv_dispatch(mdl, dtype, fallback, strides=(1, 1), padding="SAME",
+                  prefix="qamax"):
     """Per-module quant-aware conv dispatcher.
 
     Returns a ``conv(x, kernel, bias)`` callable for use inside a flax
@@ -203,11 +241,11 @@ def conv_dispatch(mdl, dtype, fallback):
     re-run ``calibrate_int8`` after any weight update.
 
     s2d interaction: s2d-form conv sites (ops/s2d.py expanded kernels)
-    intentionally bypass this dispatcher — their lane-packing already
-    flips them compute-dense, the expanded kernels carry structural
-    zeros that would waste int8 grid range, and the only s2d sites are
-    the depth-adjacent full-resolution tail convs, which the accuracy
-    policy excludes from quantization anyway (docs/performance.md).
+    route through this dispatcher only under ``PRV2_INT8_S2D=1``
+    (:func:`s2d_quant_enabled`); otherwise they run the exact conv. The
+    expanded kernels' structural zeros quantize exactly to 0 and leave
+    the per-output-channel abs-max unchanged, so the int8 grid matches
+    the unexpanded conv's.
     """
     if mdl.is_initializing():
         return fallback
@@ -221,12 +259,27 @@ def conv_dispatch(mdl, dtype, fallback):
     # compute-bound (197 TF/s / 819 GB/s), so low-kh*kw*cout convs (1x1
     # small-C, head convs) are traffic-bound and quantizing them only
     # adds passes. Threshold tunable for A/B via PRV2_INT8_MIN_KC.
-    min_kc = int(os.environ.get("PRV2_INT8_MIN_KC", "2048"))
+    # PRV2_INT8_MIN_HW additionally gates on the SPATIAL extent: the
+    # round-5 trace diff (tools/diff_trace.py, docs/performance.md) shows
+    # int8 wins ~1.7x on large-spatial convs but LOSES ~30% on the
+    # small-spatial decoder stages (f2r_agg_0/1 at <= 48x64) where the
+    # MXU is under-occupied either way and the quantize/dequant passes
+    # dominate.
+    # round-5 defaults, chosen by on-chip A/B (docs/performance.md int8
+    # table): KC 1152 admits the 256->128 C2F head conv (the largest
+    # then-unquantized op) — 512 pulls in net losers; HW 8192 excludes
+    # the <=48x64 decoder stages, which MEASURE ~30% slower as int8.
+    min_kc = int(os.environ.get("PRV2_INT8_MIN_KC", "1152"))
+    min_hw = int(os.environ.get("PRV2_INT8_MIN_HW", "8192"))
 
     def conv(x, kernel, bias):
-        name = f"qamax_{next(counter)}"
+        # site names are per (module, prefix): a module using TWO
+        # dispatchers (DoubleConv's s2d-down second conv) must pass a
+        # distinct prefix or the counters collide on the same variable
+        name = f"{prefix}_{next(counter)}"
         kh, kw, _, cout = kernel.shape
-        if kh * kw * cout < min_kc and not calib:
+        hw = x.shape[1] * x.shape[2] if x.ndim == 4 else 0
+        if (kh * kw * cout < min_kc or hw < min_hw) and not calib:
             return fallback(x, kernel, bias)
         cname = f"qc_{name}"
         if calib:
@@ -272,6 +325,7 @@ def conv_dispatch(mdl, dtype, fallback):
             return quant_conv_same_perchan(
                 x, kernel, bias,
                 mdl.get_variable("quant_scales", cname), kqc_sw=kqc_sw,
+                strides=strides, padding=padding,
             )
         x_amax = (
             mdl.get_variable("quant_scales", name)
@@ -279,7 +333,8 @@ def conv_dispatch(mdl, dtype, fallback):
             else None
         )
         kq_sw = (entry["kq"], entry["sw"]) if "kq" in entry else None
-        return quant_conv_same(x, kernel, bias, x_amax=x_amax, kq_sw=kq_sw)
+        return quant_conv_same(x, kernel, bias, x_amax=x_amax, kq_sw=kq_sw,
+                               strides=strides, padding=padding)
 
     return conv
 

@@ -169,11 +169,12 @@ def tile_bias(b):
     return None if b is None else jnp.tile(b, 4)
 
 
-def conv_s2d_down(x, kernel, bias):
-    """``s2d(conv3x3_SAME(x) [+ bias])`` as one stride-2 conv on the
-    full-resolution input — the entry point into the s2d segment."""
-    dtype = jnp.promote_types(x.dtype, kernel.dtype)
-    k4 = s2d_down_kernel(kernel)
+def conv_down_expanded(x, k4, bias4):
+    """The conv core of :func:`conv_s2d_down` with the kernel ALREADY
+    expanded (``s2d_down_kernel``) and the bias already tiled — the
+    fallback form the int8 dispatcher can wrap (ops/quant.py
+    ``conv_dispatch(strides=(2,2), padding=((1,1),(1,1)))``)."""
+    dtype = jnp.promote_types(x.dtype, k4.dtype)
     y = jax.lax.conv_general_dilated(
         x.astype(dtype),
         k4.astype(dtype),
@@ -181,9 +182,17 @@ def conv_s2d_down(x, kernel, bias):
         ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    if bias is not None:
-        y = y + tile_bias(bias).astype(dtype)
+    if bias4 is not None:
+        y = y + bias4.astype(dtype)
     return y
+
+
+def conv_s2d_down(x, kernel, bias):
+    """``s2d(conv3x3_SAME(x) [+ bias])`` as one stride-2 conv on the
+    full-resolution input — the entry point into the s2d segment."""
+    return conv_down_expanded(
+        x, s2d_down_kernel(kernel), tile_bias(bias)
+    )
 
 
 def layer_norm_s2d(x, scale, bias, eps=1e-6):

@@ -39,6 +39,8 @@ from tests.test_convert_estimator import (
     _tree_paths,
 )
 
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

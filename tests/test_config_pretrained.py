@@ -16,6 +16,8 @@ from patchrefinerv2_tpu.utils.checkpoint import (
 )
 from tests.test_models import tiny_config
 
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
+
 
 def _tree_equal(a, b):
     la = jax.tree_util.tree_leaves(a)

@@ -103,6 +103,7 @@ def test_infer_m1_shape_and_finite(model_and_vars):
     assert np.asarray(depth).min() >= 0.0
 
 
+@pytest.mark.slow
 def test_sharded_infer_matches_single_device(model_and_vars):
     """Mesh-sharded patch-chunk inference is numerically the single-device
     program (same math, XLA inserts the collectives)."""
@@ -126,6 +127,7 @@ def test_sharded_infer_matches_single_device(model_and_vars):
         )
 
 
+@pytest.mark.slow
 def test_sharded_infer_rn_matches_single_device(model_and_vars):
     """The full rN tiled program (regular + shifted + random passes, exact
     chunk stream) under the 8-device mesh equals the unsharded program —
@@ -149,6 +151,7 @@ def test_sharded_infer_rn_matches_single_device(model_and_vars):
     np.testing.assert_allclose(np.asarray(d8), np.asarray(d1), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_infer_r4_runs_random_passes(model_and_vars):
     model, variables = model_and_vars
     rng = np.random.RandomState(2)
@@ -169,6 +172,7 @@ def test_infer_r4_runs_random_passes(model_and_vars):
     assert not np.allclose(np.asarray(d1), np.asarray(d2))
 
 
+@pytest.mark.slow
 def test_pretrain_stage_forward():
     cfg = tiny_config()
     cfg["pretrain_stage"] = True

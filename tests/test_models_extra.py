@@ -8,6 +8,8 @@ import pytest
 from patchrefinerv2_tpu.registry import MODELS
 from tests.test_models import tiny_config
 
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
+
 
 def _coarse_cfg():
     return dict(

@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -70,6 +70,7 @@ def test_int8_flag_gating(monkeypatch):
     assert not int8_enabled(jnp.float32)
 
 
+@pytest.mark.slow
 def test_int8_infer_close_to_f32(monkeypatch):
     model = MODELS.build(dict(type="PatchRefinerPlus", config=tiny_config()))
     variables = model.init(jax.random.PRNGKey(0))
@@ -83,6 +84,7 @@ def test_int8_infer_close_to_f32(monkeypatch):
     monkeypatch.setenv("PRV2_INT8", "1")
     monkeypatch.setenv("PRV2_INT8_FORCE", "1")  # tiny model infers in f32
     monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
+    monkeypatch.setenv("PRV2_INT8_MIN_HW", "0")  # tiny spatial: lift the r5 gate
     type(model)._jitted_infer.cache_clear()  # env flags bind at trace
     d_i8, _ = model.infer(variables, image_lr, image_hr, cai_mode="m1", process_num=2)
     monkeypatch.delenv("PRV2_INT8")
@@ -114,6 +116,7 @@ def test_int8_infer_close_to_f32(monkeypatch):
     monkeypatch.setenv("PRV2_INT8", "1")
     monkeypatch.setenv("PRV2_INT8_FORCE", "1")
     monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
+    monkeypatch.setenv("PRV2_INT8_MIN_HW", "0")  # tiny spatial: lift the r5 gate
     type(model)._jitted_infer.cache_clear()
     d_st, _ = model.infer(cal_vars, image_lr, image_hr, cai_mode="m1",
                           process_num=2)
@@ -147,6 +150,7 @@ def test_doubleconv_int8_and_layout(monkeypatch):
     monkeypatch.setenv("PRV2_INT8", "1")
     monkeypatch.setenv("PRV2_INT8_FORCE", "1")
     monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
+    monkeypatch.setenv("PRV2_INT8_MIN_HW", "0")  # tiny spatial: lift the r5 gate
     out = np.asarray(mod.apply(v, x))
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert 0 < err < 0.05, f"int8 DoubleConv error {err:.4f}"
@@ -172,6 +176,7 @@ def test_mbconv_int8_and_layout(monkeypatch):
     monkeypatch.setenv("PRV2_INT8", "1")
     monkeypatch.setenv("PRV2_INT8_FORCE", "1")
     monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
+    monkeypatch.setenv("PRV2_INT8_MIN_HW", "0")  # tiny spatial: lift the r5 gate
     out = np.asarray(mod.apply(v, x, False))
     err = np.linalg.norm(out - ref) / np.linalg.norm(ref)
     assert 0 < err < 0.05, f"int8 MBConv error {err:.4f}"
@@ -219,6 +224,7 @@ def test_calibrated_static_scales_unit(monkeypatch):
     monkeypatch.setenv("PRV2_INT8", "1")
     monkeypatch.setenv("PRV2_INT8_FORCE", "1")
     monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")  # tiny convs: lift the gate
+    monkeypatch.setenv("PRV2_INT8_MIN_HW", "0")  # tiny spatial: lift the r5 gate
     out_dyn1 = np.asarray(single.apply(vs, x))
     out_st1 = np.asarray(single.apply(
         {**vs, "quant_scales": scales_from_stats([stats1["quant_stats"]])}, x))
@@ -347,3 +353,41 @@ def test_perchan_static_mode(monkeypatch):
     exact = np.asarray(mod.apply(v, x2))
     err = np.linalg.norm(out_kqc - exact) / np.linalg.norm(exact)
     assert err < 0.05, err
+
+
+def test_s2d_quant_conv_bit_exact_vs_plain_quant():
+    """d2s(quant_conv(s2d(x), s2d_kernel(k))) == quant_conv(x, k) EXACTLY:
+    the expanded kernel's structural zeros quantize to 0, its per-cout
+    abs-max equals the plain kernel's, and the int32 accumulation sums the
+    same int8 products — so quantizing the s2d form (PRV2_INT8_S2D) adds
+    NO error over the plain int8 conv."""
+    from patchrefinerv2_tpu.ops import s2d as s2d_ops
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 12, 6), jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, 6, 5), jnp.float32)
+
+    plain = quant_conv_same(x, k, None)
+    xs = s2d_ops.space_to_depth(x)
+    ks = s2d_ops.s2d_same_kernel(k)
+    got = s2d_ops.depth_to_space(quant_conv_same(xs, ks, None))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(plain))
+
+
+def test_min_hw_gate(monkeypatch):
+    """PRV2_INT8_MIN_HW gates small-spatial inputs back to the exact conv."""
+    monkeypatch.setenv("PRV2_INT8", "1")
+    monkeypatch.setenv("PRV2_INT8_FORCE", "1")
+    monkeypatch.setenv("PRV2_INT8_MIN_KC", "0")
+    monkeypatch.setenv("PRV2_INT8_MIN_HW", "1000")
+    from patchrefinerv2_tpu.models.blocks.convs import DoubleConv
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4), jnp.float32)  # 64 px < 1000
+    m = DoubleConv(features=4)
+    v = m.init(jax.random.PRNGKey(0), x)
+    gated = m.apply(v, x)
+    monkeypatch.setenv("PRV2_INT8", "0")
+    exact = m.apply(v, x)
+    # below the spatial floor the quant path must NOT engage
+    np.testing.assert_array_equal(np.asarray(gated), np.asarray(exact))

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from patchrefinerv2_tpu.evaluation.metrics import extract_edges
 from patchrefinerv2_tpu.models.losses_extra import EdgeguidedRankingLoss
 
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
+
 POINT_PAIRS = 1500
 SIGMA = 0.03
 H, W = 64, 96

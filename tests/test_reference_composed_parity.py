@@ -44,6 +44,8 @@ from patchrefinerv2_tpu.utils.torch_convert import (  # noqa: E402
     convert_patchrefinerplus,
 )
 
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
+
 # Composed geometry: raw 336x672, 2x2 split -> patch_raw 168x336, resized
 # by the genuine ResizeDA to the 112x224 process shape (multiple of 14),
 # DA2-vits coarse at the DEFAULT features=256. Constraints honored:

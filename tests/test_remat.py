@@ -2,6 +2,8 @@
 rematerializes the refiner encoder + fusion head to fit the reference's
 bs=4/device training recipe in 16 GB HBM; docs/performance.md)."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import jax.tree_util as jtu
@@ -9,6 +11,8 @@ import numpy as np
 
 from patchrefinerv2_tpu.registry import MODELS
 from tests.test_models import tiny_config
+
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
 
 
 def test_remat_preserves_tree_and_grads():

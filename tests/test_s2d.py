@@ -289,6 +289,7 @@ def test_c2f_module_plain_contract_at_default_flags(rng):
     assert feats[5].shape[-1] == 32
 
 
+@pytest.mark.slow
 def test_bidirectional_fusion_s2d_grads(rng):
     """The s2d path must stay trainable: gradients wrt params match the
     plain path (the expanded kernels are linear views of the originals)."""

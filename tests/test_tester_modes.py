@@ -17,6 +17,8 @@ from patchrefinerv2_tpu.datasets.base import DataLoader
 from patchrefinerv2_tpu.evaluation.tester import Tester
 from tests.test_models import tiny_config
 
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
+
 
 @pytest.fixture(scope="module")
 def tiny_setup():

@@ -19,6 +19,8 @@ from patchrefinerv2_tpu.parallel.tp import _spec_for, shard_tp, tp_mesh
 from patchrefinerv2_tpu.registry import MODELS
 from tests.test_models import tiny_config
 
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
+
 
 def test_spec_rules_match_suffixes():
     assert _spec_for(("params", "coarse", "blocks_0", "attn", "qkv", "kernel"),

@@ -8,6 +8,8 @@ from patchrefinerv2_tpu.registry import MODELS, DATASETS
 from patchrefinerv2_tpu.datasets.base import DataLoader
 from tests.test_models import tiny_config
 
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
+
 
 def _train_cfg(tmp_path):
     return Config.fromdict(

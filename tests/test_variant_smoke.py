@@ -21,6 +21,8 @@ import pytest
 from patchrefinerv2_tpu.registry import MODELS
 from tests.test_models import tiny_config
 
+pytestmark = pytest.mark.slow  # heavy integration module (VERDICT r4 #9)
+
 
 @pytest.fixture(autouse=True)
 def _default_flags():

@@ -35,11 +35,17 @@ def main():
                          "error against IT (contextualizes the bf16 default: "
                          "if bf16 itself exceeds the 1e-3 bar vs f32, int8's "
                          "delta is measured against an already-lossy mode)")
+    ap.add_argument("--skip-dynamic", action="store_true",
+                    help="measure only the calibrated modes (faster A/B)")
     args = ap.parse_args()
 
-    # keep flag state out of the traced graphs except the ones we toggle
+    # keep flag state out of the traced graphs except the ones we toggle —
+    # but PRESERVE the serving-config gates (they define WHICH sites
+    # quantize and are part of what is being measured)
+    keep = ("PRV2_INT8_MIN_KC", "PRV2_INT8_MIN_HW", "PRV2_INT8_S2D",
+            "PRV2_INT8_SKIP", "PRV2_S2D", "PRV2_REG_CHUNK")
     for k in list(os.environ):
-        if k.startswith("PRV2_"):
+        if k.startswith("PRV2_") and k not in keep:
             del os.environ[k]
 
     import jax
@@ -87,12 +93,13 @@ def main():
         d_f32 = run(variables, model_f32)
         report("bf16", d_bf16, d_f32, "f32")
 
-    os.environ["PRV2_INT8"] = "1"
-    d_dyn = run(variables)
-    report("int8[dynamic]", d_dyn, d_bf16)
-    if d_f32 is not None:
-        report("int8[dynamic]", d_dyn, d_f32, "f32")
-    del os.environ["PRV2_INT8"]
+    if not args.skip_dynamic:
+        os.environ["PRV2_INT8"] = "1"
+        d_dyn = run(variables)
+        report("int8[dynamic]", d_dyn, d_bf16)
+        if d_f32 is not None:
+            report("int8[dynamic]", d_dyn, d_f32, "f32")
+        del os.environ["PRV2_INT8"]
 
     # calibrate on DIFFERENT random frames than the measured one (the
     # honest PTQ setting: serving inputs are not the calibration set)

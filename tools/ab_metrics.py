@@ -119,7 +119,24 @@ def main():
                 frames.append((jnp.asarray(np.asarray(item["image_lr"])[None]),
                                jnp.asarray(np.asarray(item["image_hr"])[None])))
             v = m2.calibrate_int8(v, frames, process_num=4)
-        tester = Tester(None, m2, val_loader, work_dir="/tmp/ab_metrics_wd")
+        # SEE needs GT boundary edges (metrics.py:194-198, the reference's
+        # u4k eval derives them from disparity, u4k_dataset.py:216-217);
+        # derive them from the synthetic GT depth here
+        from patchrefinerv2_tpu.evaluation.metrics import get_boundaries
+
+        class _EdgeLoader:
+            dataset = val_loader.dataset
+
+            def __iter__(self):
+                for b in val_loader:
+                    gt = np.asarray(b["depth_gt"])[0]
+                    b = dict(b)
+                    b["boundary"] = get_boundaries(
+                        1.0 / np.maximum(gt.squeeze(), 1e-3), th=1, dilation=0
+                    ).astype(np.float32)
+                    yield b
+
+        tester = Tester(None, m2, _EdgeLoader(), work_dir="/tmp/ab_metrics_wd")
         print(f"\n===== mode: {label} =====", flush=True)
         table = tester.run(v, cai_mode="m2", process_num=4,
                            image_raw_shape=geo["image_raw_shape"],

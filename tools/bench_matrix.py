@@ -31,9 +31,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # (bench.py reads them at startup); other keys ride BENCH_FLAGS and are
 # exported at trace time. The int8 serving modes are NOT parity-preserving.
 FLAGS = [
-    ("BENCH_INT8", "static"),  # calibrated activation scales (PTQ) + kq
-    ("BENCH_INT8", "1"),       # dynamic per-tensor activation scales
-    ("PRV2_S2D", "0"),         # s2d tail OFF (default is ON; 0 = ablation)
+    ("BENCH_INT8", "static"),     # calibrated activation scales (PTQ) + kq
+    ("BENCH_INT8", "1"),          # dynamic per-tensor activation scales
+    ("PRV2_S2D", "0"),            # s2d tail OFF (default ON; 0 = ablation)
+    ("PRV2_INT8_S2D", "0"),       # quantized s2d sites OFF (ablation)
+    ("PRV2_INT8_MIN_HW", "0"),    # spatial gate OFF (ablation)
+    ("PRV2_INT8_MIN_KC", "2048"), # round-4 KC threshold (ablation)
 ]
 
 
