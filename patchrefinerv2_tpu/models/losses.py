@@ -89,7 +89,18 @@ class GradMatchLoss:
         mask = jnp.logical_and(target > min_depth, target < max_depth)
         mask = _merge_additional_mask(mask, additional_mask, h, w)
         m = mask.astype(jnp.float32)
-        loss, n = _grad_match(pred - target, m)
+        # Reference QUIRK (losses.py:973-979): unlike the SSI family,
+        # GradMatchLoss receives the UNsqueezed (B,1,H,W) tensors, so its
+        # "v_gradient" term slices the size-1 CHANNEL axis (0:-2 of a
+        # length-1 dim = empty) and contributes NOTHING — only the H-axis
+        # gradient survives. Replicated exactly; caught and pinned by the
+        # composed train-loss parity test against the imported reference
+        # code (tests/test_reference_composed_parity.py), which measured
+        # the two-axis version at ~2x the reference value.
+        n = jnp.sum(m)
+        d = (pred - target) * m
+        v = jnp.abs(d[:, :-2, :, :] - d[:, 2:, :, :]) * (m[:, :-2] * m[:, 2:])
+        loss = jnp.sum(v) / jnp.maximum(n, 1.0)
         return jnp.where(n > 1, loss, 0.0)
 
 

@@ -39,15 +39,20 @@ def test_silog_matches_torch():
 
 
 def torch_gradmatch(pred, target, min_d, max_d):
-    # stride-2 gradient of masked difference (losses.py:943-984); note the
-    # reference indexes dims (1, 2) of NCHW-squeezed tensors -> here HW
-    p = torch.from_numpy(pred[..., 0])
-    t = torch.from_numpy(target[..., 0])
+    # EXACT reference transcription (losses.py:950-984): GradMatchLoss
+    # never squeezes, so it slices dims (1, 2) of the 4-D NCHW tensors —
+    # dim 1 is the size-1 CHANNEL axis, making "v_gradient" EMPTY; only
+    # the H-axis gradient contributes. (The earlier golden here squeezed
+    # first — a common-mode transcription error caught by the composed
+    # train-loss parity test against the imported reference code.)
+    p = torch.from_numpy(pred).permute(0, 3, 1, 2)
+    t = torch.from_numpy(target).permute(0, 3, 1, 2)
     mask = torch.logical_and(t > min_d, t < max_d).float()
     N = mask.sum()
     d = (p - t) * mask
     v = (d[:, :-2, :] - d[:, 2:, :]).abs() * mask[:, :-2, :] * mask[:, 2:, :]
     h = (d[:, :, :-2] - d[:, :, 2:]).abs() * mask[:, :, :-2] * mask[:, :, 2:]
+    assert v.numel() == 0  # the reference's degenerate channel-axis term
     return float((h.sum() + v.sum()) / N)
 
 

@@ -190,3 +190,58 @@ def test_composed_depth_matches_reference_code(models, cai_mode):
     # bar (BASELINE.json) is cleared by >1 order of magnitude
     assert np.max(rel) < 1e-4, f"max rel {np.max(rel):.3e}"
     assert np.mean(rel) < 1e-5, f"mean rel {np.mean(rel):.3e}"
+
+
+def test_composed_train_loss_matches_reference_code(models):
+    """TRAIN-mode composed parity: the full training objective — frozen
+    coarse forward, train-path roi_align (patchrefinerplus.py:239-261),
+    bbox handling under pre_norm_bbox (:428-438), refiner + fusion, and
+    the SILog + GradMatch weighting (:459-465) — evaluated by the
+    reference code and this framework on identical weights and batch.
+    BatchNorm runs in train mode on both sides (batch statistics), as in
+    the reference Trainer."""
+    ref_model, our_model, variables = models
+    rng = np.random.RandomState(7)
+    bs = 2
+    image_lr = rng.rand(bs, PROC[0], PROC[1], 3).astype(np.float32)
+    crops = rng.rand(bs, PROC[0], PROC[1], 3).astype(np.float32)
+    crop_depths = (1.0 + 20.0 * rng.rand(bs, PROC[0], PROC[1], 1)).astype(
+        np.float32)
+    # pre-normalized bboxes in process coords (the reference dataloader
+    # convention under pre_norm_bbox=True, u4k_dataset.py:186-204)
+    bboxs = np.stack([
+        [0.0, 0.0, PROC[1] / 2, PROC[0] / 2],
+        [PROC[1] / 2, PROC[0] / 2, PROC[1], PROC[0]],
+    ]).astype(np.float32)
+
+    ref_model.train()
+    try:
+        with torch.no_grad():
+            loss_dict, _ = ref_model(
+                mode="train",
+                image_lr=torch.tensor(image_lr.transpose(0, 3, 1, 2)),
+                crops_image_hr=torch.tensor(crops.transpose(0, 3, 1, 2)),
+                crop_depths=torch.tensor(
+                    crop_depths.transpose(0, 3, 1, 2)),
+                bboxs=torch.tensor(bboxs),
+            )
+    finally:
+        ref_model.eval()
+
+    import jax.numpy as jnp
+
+    batch = {
+        "image_lr": jnp.asarray(image_lr),
+        "crops_image_hr": jnp.asarray(crops),
+        "crop_depths": jnp.asarray(crop_depths),
+        "bboxs": jnp.asarray(bboxs),
+    }
+    ours, _ = our_model.loss(variables, batch, rng=jax.random.PRNGKey(0),
+                             mutable=["batch_stats"])
+
+    for k_ref, k_ours in (("sig_fine_loss", "sig_fine_loss"),
+                          ("gm_loss", "gm_loss"),
+                          ("total_loss", "total_loss")):
+        r = float(loss_dict[k_ref])
+        g = float(ours[k_ours])
+        assert abs(g - r) / (abs(r) + 1e-9) < 1e-4, (k_ref, r, g)

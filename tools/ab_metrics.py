@@ -131,8 +131,12 @@ def main():
                 for b in val_loader:
                     gt = np.asarray(b["depth_gt"])[0]
                     b = dict(b)
+                    # synthetic GT is per-pixel noise in [1,21]: disparity
+                    # gradients are < 1, so use a threshold that actually
+                    # selects edge pixels for the SEE comparator
                     b["boundary"] = get_boundaries(
-                        1.0 / np.maximum(gt.squeeze(), 1e-3), th=1, dilation=0
+                        1.0 / np.maximum(gt.squeeze(), 1e-3), th=0.05,
+                        dilation=0,
                     ).astype(np.float32)
                     yield b
 

@@ -9,14 +9,16 @@ costs that variant its timeout, never the session. The persistent JAX
 compilation cache (bench.py sets JAX_COMPILATION_CACHE_DIR) makes
 repeats cheap.
 
-The round-2/3 fused-Pallas-kernel flag family this harness was built for
-is retired (measured at-or-below baseline or structurally uncompilable —
-docs/performance.md "Retired kernels"); the surviving default variant is
-the non-parity dynamic-int8 serving mode.
+The measured variant set (VARIANTS below) covers the round-5 serving
+defaults and their ablations: int8 modes (perchan/static/dynamic), the
+s2d layout tail, and the int8 gates (s2d sites, spatial, KC threshold,
+accuracy-rejected tail family). The round-2/3 fused-Pallas-kernel flag
+family this harness was built for is retired (docs/performance.md
+"Retired kernels").
 
 Usage:
     python tools/bench_matrix.py [--mode m1] [--iters 10] [--timeout 2400]
-    python tools/bench_matrix.py --mode r32 --only PRV2_INT8=1
+    python tools/bench_matrix.py --mode r32 --only BENCH_INT8=perchan
 """
 
 import argparse
@@ -27,16 +29,27 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# experiment flags: BENCH_* keys go straight into the subprocess env
+# experiment variants: BENCH_* keys go straight into the subprocess env
 # (bench.py reads them at startup); other keys ride BENCH_FLAGS and are
-# exported at trace time. The int8 serving modes are NOT parity-preserving.
-FLAGS = [
-    ("BENCH_INT8", "static"),     # calibrated activation scales (PTQ) + kq
-    ("BENCH_INT8", "1"),          # dynamic per-tensor activation scales
-    ("PRV2_S2D", "0"),            # s2d tail OFF (default ON; 0 = ablation)
-    ("PRV2_INT8_S2D", "0"),       # quantized s2d sites OFF (ablation)
-    ("PRV2_INT8_MIN_HW", "0"),    # spatial gate OFF (ablation)
-    ("PRV2_INT8_MIN_KC", "2048"), # round-4 KC threshold (ablation)
+# exported at trace time. Each entry is (label, [(key, value), ...]) —
+# the int8 GATE ablations must ride on top of an int8 mode (against the
+# pure-bf16 baseline they would just re-measure bf16).
+VARIANTS = [
+    ("int8[perchan] (the default)", [("BENCH_INT8", "perchan")]),
+    ("int8[static]", [("BENCH_INT8", "static")]),
+    ("int8[dynamic]", [("BENCH_INT8", "1")]),
+    ("s2d tail OFF", [("PRV2_S2D", "0")]),
+    ("int8 minus s2d sites",
+     [("BENCH_INT8", "perchan"), ("PRV2_INT8_S2D", "0")]),
+    ("int8 no spatial gate",
+     [("BENCH_INT8", "perchan"), ("PRV2_INT8_MIN_HW", "0")]),
+    ("int8 round-4 KC gate",
+     [("BENCH_INT8", "perchan"), ("PRV2_INT8_MIN_KC", "2048")]),
+    # accuracy-rejected: quantize the full-res s2d tail too ("-" = skip
+    # no family; an empty value would be rewritten to "1" by the
+    # BENCH_FLAGS parser)
+    ("int8 incl tail (accuracy-rejected)",
+     [("BENCH_INT8", "perchan"), ("PRV2_INT8_SKIP", "-")]),
 ]
 
 
@@ -103,24 +116,15 @@ def main():
                     help="only baseline + all-on")
     args = ap.parse_args()
 
-    variants = [("baseline", [])]
+    variants = [("baseline (pure bf16)", [])]
     if args.only:
         pairs = []
         for p in args.only.split(","):
             k, _, v = p.partition("=")
             pairs.append((k.strip(), v.strip() or "1"))
         variants.append((args.only, pairs))
-    else:
-        if not args.skip_singles:
-            variants += [(f"{k}={v}", [(k, v)]) for k, v in FLAGS]
-        # all-on uses the first value listed per flag
-        seen, allon = set(), []
-        for k, v in FLAGS:
-            if k not in seen:
-                seen.add(k)
-                allon.append((k, v))
-        if len(allon) > 1:
-            variants.append(("ALL", allon))
+    elif not args.skip_singles:
+        variants += list(VARIANTS)
 
     results = []
     base_fps = None
@@ -130,7 +134,7 @@ def main():
         nonlocal base_fps
         name, fps, err = run_variant(
             name, pairs, args.mode, args.iters, args.warmup, args.timeout)
-        if fps is not None and base_fps is None and name == "baseline":
+        if fps is not None and base_fps is None and name.startswith("baseline"):
             base_fps = fps
         delta = "" if fps is None or not base_fps else f"{(fps/base_fps-1)*100:+.1f}%"
         line = f"{name:40s} {fps if fps is not None else 'FAIL':>10} {delta:>8} {err}"
@@ -142,29 +146,8 @@ def main():
             json.dump(results, f, indent=1)
         return fps
 
-    single_fps = {}
     for name, pairs in variants:
-        fps = measure(name, pairs)
-        if len(pairs) == 1:
-            single_fps[pairs[0]] = fps
-
-    # winners-only combo: individually-positive flags composed (ALL mixes
-    # losers in; the best config is usually this subset). For multi-valued
-    # flags keep only the better value.
-    if base_fps and single_fps and not args.only:
-        best_by_key = {}
-        for (k, v), fps in single_fps.items():
-            if fps is not None and fps > base_fps * 1.005:
-                cur = best_by_key.get(k)
-                if cur is None or fps > cur[1]:
-                    best_by_key[k] = (v, fps)
-        winners = [(k, v) for k, (v, _) in sorted(best_by_key.items())]
-        all_flags = dict(next((p for n, p in variants if n == "ALL"), []))
-        if winners and dict(winners) != all_flags and len(winners) > 1:
-            measure("WINNERS:" + ",".join(f"{k}={v}" for k, v in winners), winners)
-
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=1)
+        measure(name, pairs)
 
 
 if __name__ == "__main__":
